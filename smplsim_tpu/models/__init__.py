@@ -1,0 +1,11 @@
+from smplsim_tpu.models.spec import RobotModel, GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX
+from smplsim_tpu.models.mjcf import parse_mjcf, parse_mjcf_file
+
+__all__ = [
+    "RobotModel",
+    "GEOM_SPHERE",
+    "GEOM_CAPSULE",
+    "GEOM_BOX",
+    "parse_mjcf",
+    "parse_mjcf_file",
+]
