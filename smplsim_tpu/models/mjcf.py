@@ -221,7 +221,11 @@ def parse_mjcf(xml_string: str, dtype=jnp.float32) -> spec.RobotModel:
     pd_action_offset = np.zeros(nu)
 
     a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
-    return spec.RobotModel(
+    qpos0 = np.zeros(7 + nu)
+    qpos0[0:3] = body_pos[0]
+    qpos0[3:7] = body_quat[0]
+
+    model = spec.RobotModel(
         body_pos=a(body_pos),
         body_quat=a(body_quat),
         body_mass=a(body_mass),
@@ -249,12 +253,65 @@ def parse_mjcf(xml_string: str, dtype=jnp.float32) -> spec.RobotModel:
         floor_solimp=a(floor_solimp),
         gravity=a(gravity),
         timestep=a(timestep),
+        qpos0=a(qpos0),
+        dof_invweight0=a(np.zeros(6 + nu)),
+        body_invweight0=a(np.zeros((nbody, 2))),
         parents=tuple(parents),
         body_names=tuple(body_names),
         geom_body=tuple(geom_body),
         geom_type=tuple(geom_type),
         geom_names=tuple(geom_names),
         jnt_limited=tuple(jnt_limited),
+    )
+    return _compute_invweights(model, dtype)
+
+
+def _compute_invweights(model: spec.RobotModel, dtype) -> spec.RobotModel:
+    """Fill dof/body inverse weights: diagonal measures of M^-1 at qpos0.
+
+    MuJoCo precomputes these at compile time (body_invweight0/dof_invweight0)
+    and uses them as the diagonal approximation in the constraint-force
+    regularizer R = (1-imp)/imp * diagApprox.
+    """
+    import jax
+
+    from smplsim_tpu.physics import dynamics as _dyn
+    from smplsim_tpu.physics import kinematics as _kin
+    from smplsim_tpu.physics.topology import tree_masks
+
+    m64 = model.astype(jnp.float64) if dtype != jnp.float64 else model
+    kin = _kin.fk(m64, m64.qpos0)
+    M = np.asarray(_dyn.mass_matrix(m64, kin))
+    Minv = np.linalg.inv(M)
+    dof_iw = np.diag(Minv).copy()
+
+    masks = tree_masks(model.parents)
+    body_dof = np.asarray(masks["body_dof"])
+    S = np.asarray(kin.S)  # (nv,6) about world origin
+    com = np.asarray(kin.com)
+    body_iw = np.zeros((model.nbody, 2))
+    for b in range(model.nbody):
+        # body-COM point jacobians (3,nv): translation & rotation
+        mask = body_dof[b]
+        Jr = (S[:, :3] * mask[:, None]).T
+        Jt = (np.cross(S[:, :3], com[b][None, :] - 0.0) + S[:, 3:]).T * mask[None, :]
+        # v_point(com) = omega x com + v_O
+        At = Jt @ Minv @ Jt.T
+        Ar = Jr @ Minv @ Jr.T
+        body_iw[b, 0] = np.trace(At) / 3.0
+        body_iw[b, 1] = np.trace(Ar) / 3.0
+
+    # free-joint dofs: translational weight measured at the body FRAME origin,
+    # rotational weight equals the body's rotational invweight
+    mask0 = body_dof[0]
+    p0 = np.asarray(kin.xpos)[0]
+    Jt0 = (np.cross(S[:, :3], p0[None, :]) + S[:, 3:]).T * mask0[None, :]
+    dof_iw[0:3] = np.trace(Jt0 @ Minv @ Jt0.T) / 3.0
+    dof_iw[3:6] = body_iw[0, 1]
+
+    return model.replace(
+        dof_invweight0=jnp.asarray(dof_iw, dtype=dtype),
+        body_invweight0=jnp.asarray(body_iw, dtype=dtype),
     )
 
 

@@ -82,6 +82,11 @@ class RobotModel(struct.PyTreeNode):
     gravity: jax.Array       # (3,)
     timestep: jax.Array      # ()
 
+    # ---- reference state & solver weights (arrays) ----
+    qpos0: jax.Array            # (nq,) default configuration
+    dof_invweight0: jax.Array   # (nv,) diag(M^-1) at qpos0 (limit-row R)
+    body_invweight0: jax.Array  # (J,2) trans/rot inverse weight (contact R)
+
     # ---- static topology ----
     parents: Tuple[int, ...] = struct.field(pytree_node=False)
     body_names: Tuple[str, ...] = struct.field(pytree_node=False)

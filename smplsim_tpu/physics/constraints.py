@@ -1,0 +1,239 @@
+"""Constraint assembly: floor contacts + joint limits, MuJoCo soft-constraint
+semantics.
+
+TPU-native replacement for MuJoCo's collision + mj_makeConstraint pipeline
+(the reference leans on mj_step / mj_data.contact for termination checks,
+e.g. smpl_sim/envs/tasks/humanoid_speed.py:83-90). Everything is fixed-shape:
+all candidate contacts are evaluated every substep, the deepest MAX_CONTACTS
+are selected with top_k, inactive rows are masked. Formulas (impedance d(r),
+K/B from solref, aref, R = (1-d)/d * diagApprox) were validated row-by-row
+against mjData.efc_* (tests/test_contact_parity.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smplsim_tpu.models.spec import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, RobotModel
+from smplsim_tpu.physics.kinematics import Kin
+from smplsim_tpu.physics.topology import tree_masks
+
+MAX_CONTACTS = 16   # floor contacts kept per env (deepest-first)
+MAX_LIMITS = 12     # joint-limit rows kept per env
+_BIG = 1e9
+
+
+class EFC(NamedTuple):
+    """Fixed-size constraint rows (4 pyramid rows per contact + limit rows)."""
+
+    J: jax.Array        # (nefc, nv)
+    aref: jax.Array     # (nefc,)
+    R: jax.Array        # (nefc,) regularizer
+    active: jax.Array   # (nefc,) bool
+    # contact diagnostics (per selected contact, not per row)
+    con_dist: jax.Array   # (MAX_CONTACTS,)
+    con_geom: jax.Array   # (MAX_CONTACTS,) geom index (valid where con_active)
+    con_pos: jax.Array    # (MAX_CONTACTS,3)
+    con_active: jax.Array  # (MAX_CONTACTS,) bool
+    geom_floor_contact: jax.Array  # (ngeom,) bool: any candidate within margin
+
+
+@functools.lru_cache(maxsize=32)
+def _candidate_meta(geom_type: tuple[int, ...]):
+    """Static candidate-point metadata: sphere center / capsule ends / box corners."""
+    geom_idx: list[int] = []
+    sign: list[tuple[float, float, float]] = []
+    is_round: list[bool] = []
+    for g, t in enumerate(geom_type):
+        if t == GEOM_SPHERE:
+            geom_idx.append(g)
+            sign.append((0.0, 0.0, 0.0))
+            is_round.append(True)
+        elif t == GEOM_CAPSULE:
+            for s in (-1.0, 1.0):
+                geom_idx.append(g)
+                sign.append((0.0, 0.0, s))
+                is_round.append(True)
+        elif t == GEOM_BOX:
+            for sx in (-1.0, 1.0):
+                for sy in (-1.0, 1.0):
+                    for sz in (-1.0, 1.0):
+                        geom_idx.append(g)
+                        sign.append((sx, sy, sz))
+                        is_round.append(False)
+        else:
+            raise ValueError(f"geom type {t}")
+    return (
+        np.asarray(geom_idx, dtype=np.int32),
+        np.asarray(sign, dtype=np.float64),
+        np.asarray(is_round, dtype=np.float64),
+    )
+
+
+def impedance(solimp: jax.Array, x: jax.Array) -> jax.Array:
+    """MuJoCo constraint impedance d(x), x = pos - margin (<=0 when violated)."""
+    dmin, dmax, width, mid, power = (
+        solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3], solimp[..., 4],
+    )
+    r = jnp.clip(jnp.abs(x) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+    y_lo = (r / mid) ** (power - 1.0) * r
+    y_hi = 1.0 - ((1.0 - r) / (1.0 - mid)) ** (power - 1.0) * (1.0 - r)
+    y = jnp.where(r <= mid, y_lo, y_hi)
+    return jnp.clip(dmin + y * (dmax - dmin), 1e-4, 0.9999)
+
+
+def solref_kb(solref: jax.Array, solimp: jax.Array):
+    """Stiffness/damping (K, B) from solref (standard positive convention)."""
+    dmax = solimp[..., 1]
+    tc, dr = solref[..., 0], solref[..., 1]
+    K = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-12)
+    B = 2.0 / jnp.maximum(dmax * tc, 1e-12)
+    return K, B
+
+
+def floor_contacts(model: RobotModel, kin: Kin):
+    """All floor-contact candidates -> (dist, pos, geom, active) fixed arrays."""
+    dtype = kin.xpos.dtype
+    geom_idx, sign, is_round = _candidate_meta(model.geom_type)
+    geom_idx_j = jnp.asarray(geom_idx)
+    sign_j = jnp.asarray(sign, dtype=dtype)
+    round_j = jnp.asarray(is_round, dtype=dtype)
+    body_of_geom = np.asarray(model.geom_body, dtype=np.int32)
+
+    g_size = model.geom_size[geom_idx_j]           # (P,3)
+    g_pos = model.geom_pos[geom_idx_j]
+    g_quat = model.geom_quat[geom_idx_j]
+    b = jnp.asarray(body_of_geom)[geom_idx_j]
+    R_b = kin.xmat[b]                               # (P,3,3)
+    x_b = kin.xpos[b]
+
+    from smplsim_tpu import transforms as T
+
+    offset_local = sign_j * g_size                  # (P,3) in geom frame
+    p_world = x_b + jnp.einsum(
+        "pij,pj->pi", R_b, g_pos + T.quat_rotate(g_quat, offset_local)
+    )
+    radius = round_j * g_size[:, 0]
+    dist = p_world[:, 2] - radius                   # plane z=0, normal +z
+    incmargin = model.geom_margin[geom_idx_j] + model.floor_margin
+    active = dist < incmargin
+
+    # MuJoCo contact point: midway through the overlap, on the normal line
+    con_pos = jnp.stack(
+        [p_world[:, 0], p_world[:, 1], p_world[:, 2] - radius - 0.5 * dist], axis=1
+    )
+    return dist, con_pos, geom_idx_j, active, incmargin
+
+
+def make_efc(
+    model: RobotModel, kin: Kin, qpos: jax.Array, qvel: jax.Array
+) -> EFC:
+    """Assemble fixed-shape constraint rows (limits first, then contacts)."""
+    dtype = qpos.dtype
+    nv = model.nv
+    masks = tree_masks(model.parents)
+    body_dof = jnp.asarray(masks["body_dof"], dtype=dtype)  # (J,nv)
+
+    # ---------------- joint limits ----------------
+    hinge = qpos[7:]
+    lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
+    dist_lo = hinge - lo
+    dist_hi = hi - hinge
+    use_lo = dist_lo < dist_hi
+    lpos = jnp.minimum(dist_lo, dist_hi)
+    lsign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+    limited = jnp.asarray(np.asarray(model.jnt_limited), dtype=bool)
+    lactive_all = (lpos < 0.0) & limited
+
+    score = jnp.where(lactive_all, -lpos, -_BIG)
+    _, lsel = jax.lax.top_k(score, MAX_LIMITS)
+    l_pos = lpos[lsel]
+    l_sign = lsign[lsel]
+    l_active = lactive_all[lsel]
+    l_dof = 6 + lsel
+
+    l_imp = impedance(jnp.broadcast_to(model.floor_solimp, (MAX_LIMITS, 5)), l_pos)
+    lK, lB = solref_kb(model.floor_solref, model.floor_solimp)
+    l_vel = l_sign * qvel[l_dof]
+    l_aref = -lB * l_vel - lK * l_imp * l_pos
+    l_R = (1.0 - l_imp) / l_imp * model.dof_invweight0[l_dof]
+    l_J = jax.nn.one_hot(l_dof, nv, dtype=dtype) * l_sign[:, None]
+
+    # ---------------- floor contacts ----------------
+    dist, con_pos, cand_geom, cand_active, incmargin = floor_contacts(model, kin)
+    geom_floor_contact = jnp.zeros(model.ngeom, dtype=bool).at[cand_geom].max(
+        cand_active
+    )
+
+    score = jnp.where(cand_active, -dist, -_BIG)
+    _, csel = jax.lax.top_k(score, MAX_CONTACTS)
+    c_dist = dist[csel]
+    c_pos = con_pos[csel]
+    c_geom = cand_geom[csel]
+    c_active = cand_active[csel]
+    c_margin = incmargin[csel]
+    c_body = jnp.asarray(np.asarray(model.geom_body, np.int32))[c_geom]
+
+    # constraint jacobians: rows n +- mu t for t in {t1, t2};
+    # plane frame: n=(0,0,1), t1=(0,1,0), t2=(-1,0,0) (mju_makeFrame on +z)
+    n = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
+    t1 = jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)
+    t2 = jnp.asarray([-1.0, 0.0, 0.0], dtype=dtype)
+    mu = jnp.maximum(model.geom_friction[c_geom, 0], model.floor_friction[0])
+    dirs = (
+        n[None, None, :]
+        + jnp.stack([t1, -t1, t2, -t2])[None, :, :] * mu[:, None, None]
+    )  # (C,4,3)
+
+    # point jacobian per dof: v_point = S_ang x p + S_lin
+    Sang, Slin = kin.S[:, :3], kin.S[:, 3:]
+    Jp = (
+        jnp.cross(
+            Sang[None, :, :],
+            jnp.broadcast_to(c_pos[:, None, :], (MAX_CONTACTS, nv, 3)),
+        )
+        + Slin[None, :, :]
+    )  # (C,nv,3)
+    dofmask = body_dof[c_body]  # (C,nv)
+    c_J = jnp.einsum("ckd,cvd,cv->ckv", dirs, Jp, dofmask)  # (C,4,nv)
+
+    solimp = jnp.broadcast_to(model.floor_solimp, (MAX_CONTACTS, 5))
+    c_x = c_dist - c_margin
+    c_imp = impedance(solimp, c_x)
+    cK, cB = solref_kb(model.floor_solref, model.floor_solimp)
+    c_vel = jnp.einsum("ckv,v->ck", c_J, qvel)
+    c_aref = -cB * c_vel - (cK * c_imp * c_x)[:, None]
+
+    mu_hat = jnp.maximum(mu, 1.0)
+    diag_approx = (
+        model.body_invweight0[c_body, 0]
+        * 2.0 * mu_hat**2 * (1.0 + mu_hat**2)
+    )
+    c_R = ((1.0 - c_imp) / c_imp * diag_approx)[:, None].repeat(4, axis=1)
+
+    # ---------------- stack ----------------
+    J = jnp.concatenate([l_J, c_J.reshape(4 * MAX_CONTACTS, nv)], axis=0)
+    aref = jnp.concatenate([l_aref, c_aref.reshape(-1)])
+    R = jnp.concatenate([l_R, c_R.reshape(-1)])
+    active = jnp.concatenate(
+        [l_active, jnp.repeat(c_active, 4)]
+    )
+    R = jnp.where(active, jnp.maximum(R, 1e-10), 1.0)
+    J = J * active[:, None]
+    aref = aref * active
+
+    return EFC(
+        J=J,
+        aref=aref,
+        R=R,
+        active=active,
+        con_dist=c_dist,
+        con_geom=c_geom,
+        con_pos=c_pos,
+        con_active=c_active,
+        geom_floor_contact=geom_floor_contact,
+    )
