@@ -101,6 +101,8 @@ def parse_mjcf(xml_string: str, dtype=jnp.float32) -> spec.RobotModel:
     geom_margin: list[float] = []
     geom_solref: list[np.ndarray] = []
     geom_solimp: list[np.ndarray] = []
+    geom_contype: list[int] = []
+    geom_conaffinity: list[int] = []
     body_geom_specs: dict[int, list[dict[str, Any]]] = {}
 
     def parse_body(el: ET.Element, parent_idx: int):
@@ -158,6 +160,8 @@ def parse_mjcf(xml_string: str, dtype=jnp.float32) -> spec.RobotModel:
             geom_margin.append(float(attrs.get("margin", 0.0)))
             geom_solref.append(_floats(attrs.get("solref"), _SOLREF_DEFAULT))
             geom_solimp.append(_floats(attrs.get("solimp"), _SOLIMP_DEFAULT))
+            geom_contype.append(int(attrs.get("contype", 1)))
+            geom_conaffinity.append(int(attrs.get("conaffinity", 1)))
             body_geom_specs[idx].append(
                 dict(type=gtype, size=size, pos=pos, quat=quat, density=density)
             )
@@ -172,6 +176,15 @@ def parse_mjcf(xml_string: str, dtype=jnp.float32) -> spec.RobotModel:
 
     nbody = len(body_names)
     nu = 3 * (nbody - 1)
+
+    # explicit contact excludes (<contact><exclude body1= body2=/>)
+    excludes: list[tuple[int, int]] = []
+    contact_el = root.find("contact")
+    if contact_el is not None:
+        for ex in contact_el.findall("exclude"):
+            b1 = body_names.index(ex.get("body1"))
+            b2 = body_names.index(ex.get("body2"))
+            excludes.append((min(b1, b2), max(b1, b2)))
 
     # inertial properties from geoms (MuJoCo compiler equivalent)
     body_mass = np.zeros(nbody)
@@ -262,6 +275,9 @@ def parse_mjcf(xml_string: str, dtype=jnp.float32) -> spec.RobotModel:
         geom_type=tuple(geom_type),
         geom_names=tuple(geom_names),
         jnt_limited=tuple(jnt_limited),
+        geom_contype=tuple(geom_contype),
+        geom_conaffinity=tuple(geom_conaffinity),
+        contact_excludes=tuple(excludes),
     )
     return _compute_invweights(model, dtype)
 

@@ -95,6 +95,13 @@ class RobotModel(struct.PyTreeNode):
     geom_names: Tuple[str, ...] = struct.field(pytree_node=False)
     # default limit activation per hinge dof (True => limited joint)
     jnt_limited: Tuple[bool, ...] = struct.field(pytree_node=False)
+    # collision filtering (static)
+    geom_contype: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    geom_conaffinity: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # excluded body pairs (MJCF <contact><exclude>), body indices
+    contact_excludes: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=()
+    )
     # bodies allowed to touch the floor without triggering termination
     humanoid_type: str = struct.field(pytree_node=False, default="smpl")
 

@@ -19,12 +19,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from smplsim_tpu.models.spec import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, RobotModel
+from smplsim_tpu.physics.collision_pairs import MAX_SELF, self_contacts
 from smplsim_tpu.physics.kinematics import Kin
 from smplsim_tpu.physics.topology import tree_masks
 
-MAX_CONTACTS = 16   # floor contacts kept per env (deepest-first)
+MAX_CONTACTS = 24   # floor contacts kept per env (deepest-first)
 MAX_LIMITS = 12     # joint-limit rows kept per env
 _BIG = 1e9
+
+
+def top_k_pad(score: jax.Array, k: int):
+    """lax.top_k that tolerates fewer candidates than k (pads with -inf).
+
+    Returns (values, indices); padded slots point at index 0 with -_BIG score
+    (callers mask on score/active anyway).
+    """
+    n = score.shape[0]
+    if n >= k:
+        return jax.lax.top_k(score, k)
+    pad = jnp.full(k - n, -_BIG, score.dtype)
+    v, i = jax.lax.top_k(jnp.concatenate([score, pad]), k)
+    return v, jnp.minimum(i, n - 1)
+
+
+def make_frame(n: jax.Array):
+    """Tangent frame for a contact normal, mju_makeFrame convention.
+
+    seed = z-hat unless the normal is nearly vertical (|n_z| > 0.9), then
+    y-hat; t1 = Gram-Schmidt(seed), t2 = n x t1.
+    """
+    dtype = n.dtype
+    vertical = jnp.abs(n[..., 2]) > 0.9
+    seed = jnp.where(
+        vertical[..., None],
+        jnp.asarray([0.0, 1.0, 0.0], dtype),
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+    )
+    t1 = seed - jnp.sum(seed * n, -1, keepdims=True) * n
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
 
 
 class EFC(NamedTuple):
@@ -150,10 +184,10 @@ def make_efc(
     lactive_all = (lpos < 0.0) & limited
 
     score = jnp.where(lactive_all, -lpos, -_BIG)
-    _, lsel = jax.lax.top_k(score, MAX_LIMITS)
+    lval, lsel = top_k_pad(score, MAX_LIMITS)
     l_pos = lpos[lsel]
     l_sign = lsign[lsel]
-    l_active = lactive_all[lsel]
+    l_active = lactive_all[lsel] & (lval > -_BIG / 2)
     l_dof = 6 + lsel
 
     l_imp = impedance(jnp.broadcast_to(model.floor_solimp, (MAX_LIMITS, 5)), l_pos)
@@ -170,11 +204,11 @@ def make_efc(
     )
 
     score = jnp.where(cand_active, -dist, -_BIG)
-    _, csel = jax.lax.top_k(score, MAX_CONTACTS)
+    cval, csel = top_k_pad(score, MAX_CONTACTS)
     c_dist = dist[csel]
     c_pos = con_pos[csel]
     c_geom = cand_geom[csel]
-    c_active = cand_active[csel]
+    c_active = cand_active[csel] & (cval > -_BIG / 2)
     c_margin = incmargin[csel]
     c_body = jnp.asarray(np.asarray(model.geom_body, np.int32))[c_geom]
 
@@ -215,12 +249,44 @@ def make_efc(
     )
     c_R = ((1.0 - c_imp) / c_imp * diag_approx)[:, None].repeat(4, axis=1)
 
+    # ---------------- body-body (self) contacts ----------------
+    sc = self_contacts(model, kin)
+    st1, st2 = make_frame(sc.normal)
+    s_mu = sc.friction
+    s_dirs = (
+        sc.normal[:, None, :]
+        + jnp.stack([st1, -st1, st2, -st2], axis=1) * s_mu[:, None, None]
+    )  # (S,4,3)
+    Jp_s = (
+        jnp.cross(
+            Sang[None, :, :],
+            jnp.broadcast_to(sc.pos[:, None, :], (MAX_SELF, nv, 3)),
+        )
+        + Slin[None, :, :]
+    )  # (S,nv,3)
+    relmask = body_dof[sc.body2] - body_dof[sc.body1]  # (S,nv)
+    s_J = jnp.einsum("skd,svd,sv->skv", s_dirs, Jp_s, relmask)
+    s_solimp = jnp.broadcast_to(model.floor_solimp, (MAX_SELF, 5))
+    s_x = sc.dist - sc.margin
+    s_imp = impedance(s_solimp, s_x)
+    s_vel = jnp.einsum("skv,v->sk", s_J, qvel)
+    s_aref = -cB * s_vel - (cK * s_imp * s_x)[:, None]
+    s_muhat = jnp.maximum(s_mu, 1.0)
+    s_diag = (
+        (model.body_invweight0[sc.body1, 0] + model.body_invweight0[sc.body2, 0])
+        * 2.0 * s_muhat**2 * (1.0 + s_muhat**2)
+    )
+    s_R = ((1.0 - s_imp) / s_imp * s_diag)[:, None].repeat(4, axis=1)
+
     # ---------------- stack ----------------
-    J = jnp.concatenate([l_J, c_J.reshape(4 * MAX_CONTACTS, nv)], axis=0)
-    aref = jnp.concatenate([l_aref, c_aref.reshape(-1)])
-    R = jnp.concatenate([l_R, c_R.reshape(-1)])
+    J = jnp.concatenate(
+        [l_J, c_J.reshape(4 * MAX_CONTACTS, nv), s_J.reshape(4 * MAX_SELF, nv)],
+        axis=0,
+    )
+    aref = jnp.concatenate([l_aref, c_aref.reshape(-1), s_aref.reshape(-1)])
+    R = jnp.concatenate([l_R, c_R.reshape(-1), s_R.reshape(-1)])
     active = jnp.concatenate(
-        [l_active, jnp.repeat(c_active, 4)]
+        [l_active, jnp.repeat(c_active, 4), jnp.repeat(sc.active, 4)]
     )
     R = jnp.where(active, jnp.maximum(R, 1e-10), 1.0)
     J = J * active[:, None]

@@ -1,0 +1,76 @@
+"""Controllers: stable-PD, torque, PD/PID — TPU-native versions of
+smpl_sim/envs/controllers.py.
+
+The stable-PD law (Tan et al., https://www.jie-tan.net/project/spd.pdf), as
+configured by the reference (controllers.py:142-190):
+
+    qpos_err = [0_6; q + dt*qv - q*]
+    qacc = (M + dt*diag(Kd))^-1 (-C - Kp qpos_err - Kd qv)
+    tau  = -Kp qpos_err[6:] - Kd (qv + dt*qacc)[6:],  clipped to torque_lim
+
+where M includes armature and C is the full bias (Coriolis + gravity). Gains
+kp/kd live on the RobotModel (jkp/jkd from the reference GAINS table).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from smplsim_tpu.models.spec import RobotModel
+from smplsim_tpu.physics import dynamics, kinematics
+
+
+def pd_target_from_action(model: RobotModel, action: jax.Array) -> jax.Array:
+    """action in [-1,1]^nu -> joint-position setpoint (reference scaling)."""
+    return action * model.pd_action_scale + model.pd_action_offset
+
+
+def stable_pd_torque(
+    model: RobotModel,
+    kin: kinematics.Kin,
+    M: jax.Array,
+    qpos: jax.Array,
+    qvel: jax.Array,
+    target: jax.Array,
+    kp_scale: float = 1.0,
+    kd_scale: float = 1.0,
+) -> jax.Array:
+    """Stable-PD torque (nu,), given precomputed FK and mass matrix."""
+    dt = model.timestep
+    kp = jnp.concatenate([jnp.zeros(6, M.dtype), model.jkp * kp_scale])
+    kd = jnp.concatenate([jnp.zeros(6, M.dtype), model.jkd * kd_scale])
+    qpos_err = jnp.concatenate(
+        [jnp.zeros(6, M.dtype), qpos[7:] + qvel[6:] * dt - target]
+    )
+    C = dynamics.bias_forces(model, kin, qvel)
+    rhs = -C - kp * qpos_err - kd * qvel
+    H = M + jnp.diag(kd) * dt
+    chol = jnp.linalg.cholesky(H)
+    qacc = jax.scipy.linalg.cho_solve((chol, True), rhs)
+    tau = -(model.jkp * kp_scale) * qpos_err[6:] - (model.jkd * kd_scale) * (
+        qvel[6:] + qacc[6:] * dt
+    )
+    return jnp.clip(tau, -model.torque_lim, model.torque_lim)
+
+
+def torque_ctrl(model: RobotModel, action: jax.Array, power_scale: float = 1.0) -> jax.Array:
+    """SimpleTorqueController: scale+clip (controllers.py:6-47)."""
+    tau = action * power_scale * model.torque_lim
+    return jnp.clip(tau, -model.torque_lim, model.torque_lim)
+
+
+def pid_torque(
+    model: RobotModel,
+    qpos: jax.Array,
+    qvel: jax.Array,
+    target: jax.Array,
+    integral: jax.Array,
+    jki: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """PIDController law (controllers.py:265-349). Returns (tau, integral')."""
+    dt = model.timestep
+    err = qpos[7:] - target
+    integral = jnp.clip(integral + err * dt, -model.torque_lim, model.torque_lim)
+    ki = jnp.zeros_like(model.jkp) if jki is None else jki
+    tau = -model.jkp * err - model.jkd * qvel[6:] - ki * integral
+    return jnp.clip(tau, -model.torque_lim, model.torque_lim), integral

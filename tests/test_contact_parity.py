@@ -123,27 +123,34 @@ def test_geom_floor_contact_flags(setup):
     np.testing.assert_array_equal(np.asarray(info.efc.geom_floor_contact), mj_flags)
 
 
-def test_joint_limits(setup):
-    """Limit rows reproduce mj qacc when hinges exceed their range."""
-    model, mj_model = setup
-    saved = mj_model.opt.disableflags
-    # isolate limits: the folded pose self-collides, which we don't model yet
-    mj_model.opt.disableflags = saved | int(mujoco.mjtDisableBit.mjDSBL_CONTACT)
-    try:
-        mj_data = mujoco.MjData(mj_model)
-        qpos = np.zeros(model.nq)
-        qpos[2] = 5.0
-        qpos[3:7] = [1, 0, 0, 0]
-        qpos[7] = np.pi + 0.05    # L_Hip_x beyond upper limit
-        qpos[10] = -np.pi - 0.02  # L_Knee_x beyond lower limit
-        qvel = np.zeros(model.nv)
-        qvel[6] = 0.5
-        mj_data.qpos[:] = qpos
-        mj_data.qvel[:] = qvel
-        mujoco.mj_forward(mj_model, mj_data)
-        assert mj_data.nefc >= 2
-        st = engine.PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
-        info = engine.forward(model, st, jnp.zeros(model.nu))
-        np.testing.assert_allclose(np.asarray(info.sol.qacc), mj_data.qacc, atol=1e-8)
-    finally:
-        mj_model.opt.disableflags = saved
+def test_joint_limits():
+    """Limit rows reproduce mj qacc on a toy chain with tight joint ranges
+    (no self-collision possible: the only geom pair is parent-child)."""
+    xml = """<mujoco><worldbody>
+    <geom name=\"floor\" type=\"plane\" size=\"10 10 .2\"/>
+    <body name=\"A\" pos=\"0 0 3\"><freejoint/>
+    <geom type=\"capsule\" fromto=\"0 0 0 0 0 -0.3\" size=\"0.05\"/>
+    <body name=\"B\" pos=\"0 0 -0.3\">
+    <joint name=\"B_x\" type=\"hinge\" axis=\"1 0 0\" range=\"-20 20\" limited=\"true\" armature=\"0.01\"/>
+    <joint name=\"B_y\" type=\"hinge\" axis=\"0 1 0\" range=\"-30 15\" limited=\"true\" armature=\"0.01\"/>
+    <joint name=\"B_z\" type=\"hinge\" axis=\"0 0 1\" range=\"-45 45\" limited=\"true\" armature=\"0.01\"/>
+    <geom type=\"capsule\" fromto=\"0 0 0 0 0 -0.25\" size=\"0.04\"/>
+    </body></body></worldbody></mujoco>"""
+    model = mjcf.parse_mjcf(xml, dtype=jnp.float64)
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    mj_data = mujoco.MjData(mj_model)
+    qpos = np.zeros(model.nq)
+    qpos[0:3] = [0, 0, 3.0]
+    qpos[3:7] = [1, 0, 0, 0]
+    qpos[7] = np.deg2rad(20) + 0.03   # beyond upper
+    qpos[8] = -np.deg2rad(30) - 0.05  # beyond lower
+    qvel = np.zeros(model.nv)
+    qvel[6] = 0.5
+    qvel[7] = -0.2
+    mj_data.qpos[:] = qpos
+    mj_data.qvel[:] = qvel
+    mujoco.mj_forward(mj_model, mj_data)
+    assert mj_data.nefc >= 2
+    st = engine.PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+    info = engine.forward(model, st, jnp.zeros(model.nu))
+    np.testing.assert_allclose(np.asarray(info.sol.qacc), mj_data.qacc, atol=1e-8)
