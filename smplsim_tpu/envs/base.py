@@ -1,0 +1,309 @@
+"""Functional humanoid environment: the TPU-native HumanoidEnv.
+
+The reference wraps one MuJoCo sim per process in a gymnasium.Env
+(smpl_sim/envs/base_env.py, humanoid_env.py) and scales by forking worker
+processes. Here an env is a pair of pure functions
+
+    reset(key)            -> EnvState
+    step(state, action)   -> EnvState
+
+over an explicit EnvState pytree; thousands of envs are a `jax.vmap`, a
+rollout is a `lax.scan`, and multi-chip scaling is a sharded batch axis.
+Semantics (obs, rewards, init states, termination, timing) match the
+reference exactly:
+
+  * one control step = control_freq_inv (15) physics substeps at 450 Hz with
+    the stable-PD torque recomputed per substep (humanoid_env.py:439-453)
+  * Default init: qpos=0 except z=0.94, root quat [.5,.5,.5,.5]
+    (humanoid_env.py:471-479); Fall init: drop from z=0.3 + 3 random control
+    steps (humanoid_env.py:480-491)
+  * termination: any floor contact with a geom outside contact_bodies
+    (tasks/humanoid_speed.py:83-90); truncation at episode_length
+  * step ordering: update_task -> cache prev root -> physics -> cur_t += 1
+    -> obs -> reward -> reset flags (base_env.py:86-100)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from smplsim_tpu.envs import obs as obs_mod
+from smplsim_tpu.models.spec import RobotModel
+from smplsim_tpu.physics import engine, kinematics
+from smplsim_tpu.physics.engine import PhysicsState
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static env configuration (reference data/cfg/env/*.yaml)."""
+
+    episode_length: int = 300
+    sim_timestep_inv: int = 450
+    control_frequency_inv: int = 15
+    power_scale: float = 10.0
+    root_height_obs: bool = True
+    enable_early_termination: bool = True
+    self_obs_v: int = 1
+    kp_scale: float = 1.0
+    kd_scale: float = 1.0
+    clip_actions: bool = True
+    control_mode: str = "uhc_pd"
+    contact_bodies: Tuple[str, ...] = ("R_Ankle", "L_Ankle", "R_Toe", "L_Toe")
+    state_init: str = "Default"
+
+    @property
+    def dt(self) -> float:
+        return self.control_frequency_inv / self.sim_timestep_inv
+
+
+class EnvState(struct.PyTreeNode):
+    """Complete per-env state; everything the next step needs."""
+
+    phys: PhysicsState
+    obs: jax.Array
+    reward: jax.Array          # ()
+    terminated: jax.Array      # () bool — "died"
+    truncated: jax.Array       # () bool — timed out
+    cur_t: jax.Array           # () int32 control steps since reset
+    rng: jax.Array             # PRNG key, consumed by task resamples / init
+    task: Any                  # task-specific pytree (None for plain env)
+    info: dict[str, jax.Array]
+    # stable-PD (M, C) cache mirroring MjData's qM/qfrc_bias lifecycle
+    # (stale across the control-step boundary); None for non-PD control modes
+    pd_cache: Any = None
+
+    @property
+    def done(self) -> jax.Array:
+        return self.terminated | self.truncated
+
+
+class HumanoidEnv:
+    """Plain humanoid env (no task): reward 0, truncate on episode length.
+
+    Holds only static data (model + config); all methods are pure functions
+    of EnvState and safe under jit/vmap/scan.
+    """
+
+    def __init__(self, model: RobotModel, config: EnvConfig | None = None):
+        self.model = model
+        self.config = config or EnvConfig()
+        if round(1.0 / float(np.asarray(model.timestep))) != self.config.sim_timestep_inv:
+            raise ValueError(
+                f"model timestep {float(np.asarray(model.timestep)):.6f} != "
+                f"1/{self.config.sim_timestep_inv}"
+            )
+        # static mask: geoms allowed to touch the floor without termination
+        legal_bodies = {model.body_names.index(n) for n in self.config.contact_bodies}
+        self._legal_floor_geom = np.asarray(
+            [b in legal_bodies for b in model.geom_body], dtype=bool
+        )
+
+    # ---------------- sizes ----------------
+    @property
+    def action_size(self) -> int:
+        return self.model.nu
+
+    @property
+    def self_obs_size(self) -> int:
+        return obs_mod.self_obs_size(
+            self.model.nbody, self.config.self_obs_v, self.config.root_height_obs
+        )
+
+    @property
+    def task_obs_size(self) -> int:
+        return 0
+
+    @property
+    def obs_size(self) -> int:
+        return self.self_obs_size + self.task_obs_size
+
+    @property
+    def upright_start(self) -> bool:
+        # baked reference humanoid is built with the SMPL base rotation
+        # (robot cfg has_upright_start: False, data/cfg/robot/smpl_humanoid.yaml)
+        return False
+
+    # ---------------- task hooks (overridden by tasks) ----------------
+    def init_task(self, key: jax.Array) -> Any:
+        return None
+
+    def reset_task(self, key: jax.Array, task: Any, cur_t: jax.Array) -> Any:
+        return task
+
+    def update_task(self, key: jax.Array, task: Any, cur_t: jax.Array) -> Any:
+        return task
+
+    def task_obs(self, task: Any, phys: PhysicsState, kin: kinematics.Kin) -> jax.Array:
+        return jnp.zeros((0,), phys.qpos.dtype)
+
+    def pre_physics(self, task: Any, phys: PhysicsState, kin: kinematics.Kin) -> Any:
+        return task
+
+    def reward(
+        self, task: Any, phys: PhysicsState, kin: kinematics.Kin, action: jax.Array
+    ) -> jax.Array:
+        return jnp.zeros((), phys.qpos.dtype)
+
+    def task_termination(
+        self, task: Any, terminated: jax.Array
+    ) -> tuple[Any, jax.Array]:
+        """Hook to gate termination on task state (getup recovery counter)."""
+        return task, terminated
+
+    # ---------------- core ----------------
+    def _init_phys(self, key: jax.Array) -> PhysicsState:
+        model, cfg = self.model, self.config
+        dtype = model.qpos0.dtype
+        qpos = jnp.zeros(model.nq, dtype)
+        qvel = jnp.zeros(model.nv, dtype)
+        if cfg.state_init == "Default":
+            qpos = qpos.at[2].set(0.94)
+            qpos = qpos.at[3:7].set(jnp.asarray([0.5, 0.5, 0.5, 0.5], dtype))
+            return PhysicsState(qpos=qpos, qvel=qvel)
+        elif cfg.state_init == "Fall":
+            qpos = qpos.at[2].set(0.3)
+            qpos = qpos.at[3].set(1.0)
+            phys = PhysicsState(qpos=qpos, qvel=qvel)
+
+            # 3 random control steps to tangle the body (humanoid_env.py:485-491)
+            def body(carry, k):
+                phys, cache = carry
+                action = jax.random.uniform(
+                    k, (model.nu,), dtype, minval=-0.5, maxval=0.5
+                )
+                phys, _, _, cache = engine.control_step(
+                    model, phys, action,
+                    control_freq_inv=cfg.control_frequency_inv,
+                    control_mode=cfg.control_mode,
+                    power_scale=cfg.power_scale,
+                    cache=cache,
+                )
+                return (phys, cache), None
+
+            cache0 = (
+                engine.pd_cache(model, phys)
+                if cfg.control_mode == "uhc_pd" else None
+            )
+            (phys, _), _ = jax.lax.scan(
+                body, (phys, cache0), jax.random.split(key, 3)
+            )
+            return phys
+        raise NotImplementedError(cfg.state_init)
+
+    def compute_obs(
+        self, task: Any, phys: PhysicsState, kin: kinematics.Kin
+    ) -> jax.Array:
+        model, cfg = self.model, self.config
+        body_rot = kinematics.body_quats(model, phys.qpos)
+        if cfg.self_obs_v == 1:
+            prop = obs_mod.compute_self_obs_v1(
+                phys.qvel, kin.xpos, body_rot,
+                self.upright_start, cfg.root_height_obs, model.humanoid_type,
+            )
+        elif cfg.self_obs_v == 2:
+            lin, ang = kinematics.body_velocities(model, kin, phys.qvel)
+            prop = obs_mod.compute_self_obs_v2(
+                kin.xpos, body_rot, lin, ang,
+                self.upright_start, cfg.root_height_obs, model.humanoid_type,
+            )
+        else:
+            raise NotImplementedError(f"self_obs_v {cfg.self_obs_v}")
+        tobs = self.task_obs(task, phys, kin)
+        return jnp.concatenate([prop, tobs]) if tobs.shape[0] else prop
+
+    def reset(self, key: jax.Array) -> EnvState:
+        """Full reset: task first, then humanoid (humanoid_task.py:6-9)."""
+        k_task, k_init, k_next = jax.random.split(key, 3)
+        cur_t = jnp.zeros((), jnp.int32)
+        task = self.reset_task(k_task, self.init_task(k_task), cur_t)
+        phys = self._init_phys(k_init)
+        kin = kinematics.fk(self.model, phys.qpos)
+        obs = self.compute_obs(task, phys, kin)
+        dtype = phys.qpos.dtype
+        # reset_sim() runs mj_forward after init (humanoid_env.py:509-511),
+        # making the first control step's stale cache fresh-at-reset
+        cache = (
+            engine.pd_cache(self.model, phys)
+            if self.config.control_mode == "uhc_pd" else None
+        )
+        return EnvState(
+            phys=phys,
+            obs=obs,
+            reward=jnp.zeros((), dtype),
+            terminated=jnp.zeros((), bool),
+            truncated=jnp.zeros((), bool),
+            cur_t=cur_t,
+            rng=k_next,
+            task=task,
+            info={"power": jnp.zeros((), dtype)},
+            pd_cache=cache,
+        )
+
+    def step(self, state: EnvState, action: jax.Array) -> EnvState:
+        model, cfg = self.model, self.config
+        if cfg.clip_actions:
+            action = jnp.clip(action, -1.0, 1.0)
+
+        k_task, k_next = jax.random.split(state.rng)
+
+        # --- pre-physics: task update + caches (base_env.py:86-91)
+        kin0 = kinematics.fk(model, state.phys.qpos)
+        task = self.update_task(k_task, state.task, state.cur_t)
+        task = self.pre_physics(task, state.phys, kin0)
+
+        # --- physics: control_freq_inv stable-PD substeps
+        phys, info_last, power, cache = engine.control_step(
+            model, state.phys, action,
+            control_freq_inv=cfg.control_frequency_inv,
+            control_mode=cfg.control_mode,
+            power_scale=cfg.power_scale,
+            cache=state.pd_cache,
+        )
+
+        # --- post-physics
+        cur_t = state.cur_t + 1
+        kin = kinematics.fk(model, phys.qpos)
+        obs = self.compute_obs(task, phys, kin)
+        rew = self.reward(task, phys, kin, action)
+
+        truncated = cur_t > cfg.episode_length
+        illegal = info_last.efc.geom_floor_contact & ~jnp.asarray(
+            self._legal_floor_geom
+        )
+        terminated = jnp.any(illegal) & bool(cfg.enable_early_termination)
+        task, terminated = self.task_termination(task, terminated)
+
+        return EnvState(
+            phys=phys,
+            obs=obs,
+            reward=rew,
+            terminated=terminated,
+            truncated=truncated,
+            cur_t=cur_t,
+            rng=k_next,
+            task=task,
+            info={"power": power},
+            pd_cache=cache,
+        )
+
+    def step_autoreset(self, state: EnvState, action: jax.Array) -> EnvState:
+        """Step, then reset any done env in-place (GymVectEnv semantics,
+        smpl_sim/envs/nv/gymwrapper.py:40-62). Reward/done flags of the
+        finishing step are preserved; obs/phys/task come from the reset."""
+        nxt = self.step(state, action)
+        k_reset, k_carry = jax.random.split(nxt.rng)
+        fresh = self.reset(k_reset)
+        fresh = fresh.replace(
+            reward=nxt.reward,
+            terminated=nxt.terminated,
+            truncated=nxt.truncated,
+            info=nxt.info,
+            rng=k_carry,
+        )
+        done = nxt.done  # scalar here; vmap the whole function for batches
+        return jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, nxt)

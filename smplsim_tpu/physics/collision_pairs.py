@@ -141,6 +141,7 @@ def _box_sdf(p_local, half):
 
 
 def _combine(model, g1, g2):
+    """mj_collideGeoms pair combination: max friction, SUM of margins."""
     mu = jnp.maximum(model.geom_friction[g1, 0], model.geom_friction[g2, 0])
     margin = model.geom_margin[g1] + model.geom_margin[g2]
     return mu, margin

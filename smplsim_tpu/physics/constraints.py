@@ -153,6 +153,8 @@ def floor_contacts(model: RobotModel, kin: Kin):
     )
     radius = round_j * g_size[:, 0]
     dist = p_world[:, 2] - radius                   # plane z=0, normal +z
+    # mj_collideGeoms: pair margin = SUM of the two geom margins (verified
+    # empirically: two margin-0.001 spheres get includemargin 0.002)
     incmargin = model.geom_margin[geom_idx_j] + model.floor_margin
     active = dist < incmargin
 

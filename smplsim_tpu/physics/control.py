@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from smplsim_tpu.models.spec import RobotModel
-from smplsim_tpu.physics import dynamics, kinematics
 
 
 def pd_target_from_action(model: RobotModel, action: jax.Array) -> jax.Array:
@@ -27,22 +26,28 @@ def pd_target_from_action(model: RobotModel, action: jax.Array) -> jax.Array:
 
 def stable_pd_torque(
     model: RobotModel,
-    kin: kinematics.Kin,
     M: jax.Array,
+    C: jax.Array,
     qpos: jax.Array,
     qvel: jax.Array,
     target: jax.Array,
     kp_scale: float = 1.0,
     kd_scale: float = 1.0,
 ) -> jax.Array:
-    """Stable-PD torque (nu,), given precomputed FK and mass matrix."""
+    """Stable-PD torque (nu,) from an explicit mass matrix M and bias C.
+
+    The reference controller reads mjData.qM / qfrc_bias at call time
+    (controllers.py:177-181) — after an mj_step those are STALE, evaluated at
+    the previous substep's pre-integration state. Callers must pass M and C
+    with exactly that lifecycle (engine.control_step carries them through its
+    scan); qpos/qvel here are the CURRENT state, as in the reference.
+    """
     dt = model.timestep
     kp = jnp.concatenate([jnp.zeros(6, M.dtype), model.jkp * kp_scale])
     kd = jnp.concatenate([jnp.zeros(6, M.dtype), model.jkd * kd_scale])
     qpos_err = jnp.concatenate(
         [jnp.zeros(6, M.dtype), qpos[7:] + qvel[6:] * dt - target]
     )
-    C = dynamics.bias_forces(model, kin, qvel)
     rhs = -C - kp * qpos_err - kd * qvel
     H = M + jnp.diag(kd) * dt
     chol = jnp.linalg.cholesky(H)

@@ -33,6 +33,20 @@ def init_state(model: RobotModel) -> PhysicsState:
     return PhysicsState(qpos=model.qpos0, qvel=jnp.zeros(model.nv, model.qpos0.dtype))
 
 
+# mjMAXVAL: MuJoCo aborts-and-resets when |qpos/qvel/qacc| exceeds this
+# (mj_checkPos/Vel/Acc in mj_step -> mj_resetData). We replicate the reset so
+# pathological states (violent random actions, f32 rounding) recover instead
+# of propagating NaN through the batch.
+MJ_MAXVAL = 1e10
+
+
+def _state_bad(qpos: jax.Array, qvel: jax.Array, qacc: jax.Array) -> jax.Array:
+    def bad(x):
+        return jnp.any(~jnp.isfinite(x)) | jnp.any(jnp.abs(x) > MJ_MAXVAL)
+
+    return bad(qpos) | bad(qvel) | bad(qacc)
+
+
 def forward(model: RobotModel, state: PhysicsState, ctrl: jax.Array) -> StepInfo:
     """Compute accelerations + constraint forces at the current state."""
     kin = kinematics.fk(model, state.qpos)
@@ -51,33 +65,29 @@ def step(model: RobotModel, state: PhysicsState, ctrl: jax.Array):
     return PhysicsState(qpos=qpos, qvel=qvel), info
 
 
-def step_pd(model: RobotModel, state: PhysicsState, target: jax.Array):
-    """One substep under stable-PD control toward joint target (nu,).
-
-    Fuses the controller's and the dynamics' mass-matrix work (the reference
-    computes M twice per substep — once in StablePDController.control, once
-    inside mj_step). Returns (state', torque, StepInfo).
-    """
-    from smplsim_tpu.physics import control as ctrl_mod
-
+def _forward_smooth(model: RobotModel, state: PhysicsState, tau: jax.Array):
+    """FK + smooth dynamics under actuation tau. Returns (kin, smooth, efc, M, C)."""
     kin = kinematics.fk(model, state.qpos)
     M = dynamics.mass_matrix(model, kin)
-    tau = ctrl_mod.stable_pd_torque(model, kin, M, state.qpos, state.qvel, target)
+    C = dynamics.bias_forces(model, kin, state.qvel)
     qfrc = (
         dynamics.actuator_forces(model, tau)
         + dynamics.passive_forces(model, state.qvel)
-        - dynamics.bias_forces(model, kin, state.qvel)
+        - C
     )
     chol = jnp.linalg.cholesky(M)
     qacc_smooth = jax.scipy.linalg.cho_solve((chol, True), qfrc)
     smooth = dynamics.Smooth(M=M, chol=chol, qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
     efc = constraints.make_efc(model, kin, state.qpos, state.qvel)
-    sol = solver.solve_constraints(model, smooth, efc)
-    qpos, qvel = integrator.euler_step(
-        model, state.qpos, state.qvel, sol.qacc, model.timestep
-    )
-    info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol)
-    return PhysicsState(qpos=qpos, qvel=qvel), tau, info
+    return kin, smooth, efc, M, C
+
+
+def pd_cache(model: RobotModel, state: PhysicsState):
+    """(M, C) at the current state — the mj_forward-at-reset equivalent."""
+    kin = kinematics.fk(model, state.qpos)
+    M = dynamics.mass_matrix(model, kin)
+    C = dynamics.bias_forces(model, kin, state.qvel)
+    return (M, C)
 
 
 def control_step(
@@ -87,28 +97,73 @@ def control_step(
     control_freq_inv: int = 15,
     control_mode: str = "uhc_pd",
     power_scale: float = 1.0,
+    cache=None,
 ):
     """One control step = control_freq_inv substeps, torque recomputed per
     substep (reference physics_step, humanoid_env.py:439-453).
 
-    Returns (state', last StepInfo, power (sum |tau * qvel| over substeps)).
+    Stable-PD reads mjData.qM/qfrc_bias at call time; after an mj_step those
+    are the PREVIOUS substep's pre-integration values. The scan carries (M,C)
+    with exactly that lifecycle. Pass `cache` (from a previous control_step or
+    pd_cache()) to continue an episode's MjData lifecycle exactly; None primes
+    with a fresh forward pass (the reference's mj_forward at reset).
+
+    Returns (state', last StepInfo, power, cache').
     """
     from smplsim_tpu.physics import control as ctrl_mod
 
+    if control_mode == "uhc_pd":
+        target = ctrl_mod.pd_target_from_action(model, action)
+        M0, C0 = pd_cache(model, state) if cache is None else cache
+        # forward at the reset pose, for mjWARN_BADQACC-style recovery
+        reset_state = init_state(model)
+        M_reset, C_reset = pd_cache(model, reset_state)
+
+        def substep(carry, _):
+            st, M_prev, C_prev, power = carry
+            tau = ctrl_mod.stable_pd_torque(
+                model, M_prev, C_prev, st.qpos, st.qvel, target
+            )
+            kin, smooth, efc, M, C = _forward_smooth(model, st, tau)
+            sol = solver.solve_constraints(model, smooth, efc)
+            qpos, qvel = integrator.euler_step(
+                model, st.qpos, st.qvel, sol.qacc, model.timestep
+            )
+            bad = _state_bad(st.qpos, st.qvel, sol.qacc)
+            qpos = jnp.where(bad, reset_state.qpos, qpos)
+            qvel = jnp.where(bad, reset_state.qvel, qvel)
+            M = jnp.where(bad, M_reset, M)
+            C = jnp.where(bad, C_reset, C)
+            power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
+            info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol)
+            return (PhysicsState(qpos=qpos, qvel=qvel), M, C, power), info
+
+        (state, M_last, C_last, power), infos = jax.lax.scan(
+            substep,
+            (state, M0, C0, jnp.zeros((), state.qpos.dtype)),
+            None,
+            length=control_freq_inv,
+        )
+        last_info = jax.tree.map(lambda x: x[-1], infos)
+        return state, last_info, power, (M_last, C_last)
+
+    reset_state = init_state(model)
+
     def substep(carry, _):
         st, power = carry
-        if control_mode == "uhc_pd":
-            target = ctrl_mod.pd_target_from_action(model, action)
-            st2, tau, info = step_pd(model, st, target)
-        elif control_mode == "torque":
+        if control_mode == "torque":
             tau = ctrl_mod.torque_ctrl(model, action, power_scale)
-            st2, info = step(model, st, tau)
         elif control_mode == "default":
             tau = action
-            st2, info = step(model, st, tau)
         else:
             raise NotImplementedError(control_mode)
-        power = power + jnp.sum(jnp.abs(tau * st.qvel[6:]))
+        st2, info = step(model, st, tau)
+        bad = _state_bad(st.qpos, st.qvel, info.sol.qacc)
+        st2 = PhysicsState(
+            qpos=jnp.where(bad, reset_state.qpos, st2.qpos),
+            qvel=jnp.where(bad, reset_state.qvel, st2.qvel),
+        )
+        power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
         return (st2, power), info
 
     (state, power), infos = jax.lax.scan(
@@ -116,4 +171,4 @@ def control_step(
         length=control_freq_inv,
     )
     last_info = jax.tree.map(lambda x: x[-1], infos)
-    return state, last_info, power
+    return state, last_info, power, None

@@ -45,7 +45,11 @@ def reference_spd_torque(model, mj_model, mj_data, target):
 
 
 def test_stable_pd_closed_loop(setup):
-    """20 control steps (300 substeps) of PD-held standing match to <1e-8."""
+    """20 control steps (300 substeps) of PD-held standing match to <1e-8.
+
+    Replicates the reference env loop exactly: mj_forward once at reset, then
+    torque from whatever (stale) qM/qfrc_bias sit in MjData (controllers.py
+    reads them at call time, after the previous mj_step)."""
     model, mj_model = setup
     mj_data = mujoco.MjData(mj_model)
     qpos = np.zeros(model.nq)
@@ -58,15 +62,17 @@ def test_stable_pd_closed_loop(setup):
     actions = rng.uniform(-0.3, 0.3, size=(20, model.nu))
     scale = np.asarray(model.pd_action_scale)
 
-    cstep = jax.jit(lambda s, a: engine.control_step(model, s, a)[0])
+    cstep = jax.jit(
+        lambda s, a, c: engine.control_step(model, s, a, cache=c)
+    )
     st = engine.PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.zeros(model.nv))
+    cache = engine.pd_cache(model, st)
     for k in range(20):
         target = actions[k] * scale
         for _ in range(15):
-            mujoco.mj_forward(mj_model, mj_data)
             mj_data.ctrl[:] = reference_spd_torque(model, mj_model, mj_data, target)
             mujoco.mj_step(mj_model, mj_data)
-        st = cstep(st, jnp.asarray(actions[k]))
+        st, _, _, cache = cstep(st, jnp.asarray(actions[k]), cache)
     np.testing.assert_allclose(np.asarray(st.qpos), mj_data.qpos, atol=1e-8)
 
 
