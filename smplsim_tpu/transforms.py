@@ -40,8 +40,8 @@ def normalize(v: jax.Array, eps: float = 1e-9) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def quat_identity(shape=()) -> jax.Array:
-    q = jnp.zeros(shape + (4,))
+def quat_identity(shape=(), dtype=jnp.float32) -> jax.Array:
+    q = jnp.zeros(shape + (4,), dtype)
     return q.at[..., 0].set(1.0)
 
 
@@ -226,20 +226,20 @@ _SMPL_BASE_QUAT = (0.5, 0.5, 0.5, 0.5)  # non-upright SMPL base rotation
 
 def calc_heading(q: jax.Array) -> jax.Array:
     """Yaw of the rotated x-axis; q (...,4) -> (...,)."""
-    ref = jnp.zeros(q.shape[:-1] + (3,)).at[..., 0].set(1.0)
+    ref = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 0].set(1.0)
     rot = quat_rotate(q, ref)
     return jnp.arctan2(rot[..., 1], rot[..., 0])
 
 
 def calc_heading_quat(q: jax.Array) -> jax.Array:
     heading = calc_heading(q)
-    axis = jnp.zeros(q.shape[:-1] + (3,)).at[..., 2].set(1.0)
+    axis = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 2].set(1.0)
     return quat_from_angle_axis(heading, axis)
 
 
 def calc_heading_quat_inv(q: jax.Array) -> jax.Array:
     heading = calc_heading(q)
-    axis = jnp.zeros(q.shape[:-1] + (3,)).at[..., 2].set(1.0)
+    axis = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 2].set(1.0)
     return quat_from_angle_axis(-heading, axis)
 
 
@@ -253,8 +253,8 @@ def remove_base_rot(q: jax.Array, humanoid_type: str = "smpl") -> jax.Array:
 
 def quat_to_tan_norm(q: jax.Array) -> jax.Array:
     """6D tangent/normal rotation encoding (rotated x and z axes), (...,6)."""
-    ref_tan = jnp.zeros(q.shape[:-1] + (3,)).at[..., 0].set(1.0)
-    ref_norm = jnp.zeros(q.shape[:-1] + (3,)).at[..., 2].set(1.0)
+    ref_tan = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 0].set(1.0)
+    ref_norm = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 2].set(1.0)
     tan = quat_rotate(q, ref_tan)
     norm = quat_rotate(q, ref_norm)
     return jnp.concatenate([tan, norm], axis=-1)
