@@ -140,6 +140,165 @@ def _box_sdf(p_local, half):
     return dist, n
 
 
+_BB_SLOTS = 24  # 4 + 4 support-face corners + 16 edge crossings
+
+
+def _box_box_one(p1, R1, h1, p2, R2, h2, margin):
+    """MuJoCo-style box-box manifold for one pair. Returns
+    (dist (24,), pos (24,3), normal (24,3), active (24,)).
+
+    Semantics reverse-engineered from mujoco 3.10 (tools/probe_boxbox.py,
+    analyze_boxbox.py, axis_rule_boxbox.py):
+      * shared contact normal = minimum-penetration SAT axis over the 6
+        face axes and 9 edge-cross axes (face axes preferred within 1e-5
+        relative);
+      * contact points = vertices of the 2-D intersection polygon of the
+        two SUPPORT faces (each box's face most aligned with the axis)
+        projected perpendicular to the axis: corners of each projected
+        quad contained in the other + pairwise edge crossings;
+      * per-point dist = gap along the axis between the two support-face
+        planes through that point; pos = the axial midpoint;
+      * a point is emitted iff its dist < the pair margin.
+    """
+    dtype = p1.dtype
+    t = p2 - p1
+
+    # ---- SAT over 6 face axes + 9 edge-cross axes
+    face_axes = jnp.concatenate([R1.T, R2.T], axis=0)  # (6,3) rows
+    r1f = jnp.abs(face_axes @ R1) @ h1                 # (6,)
+    r2f = jnp.abs(face_axes @ R2) @ h2
+    pen_f = r1f + r2f - jnp.abs(face_axes @ t)
+
+    cross = jnp.cross(R1.T[:, None, :], R2.T[None, :, :]).reshape(9, 3)
+    cn = jnp.linalg.norm(cross, axis=-1)
+    good = cn > 1e-10
+    edge_axes = cross / jnp.maximum(cn, 1e-10)[:, None]
+    r1e = jnp.abs(edge_axes @ R1) @ h1
+    r2e = jnp.abs(edge_axes @ R2) @ h2
+    pen_e = jnp.where(good, r1e + r2e - jnp.abs(edge_axes @ t), 1e9)
+
+    fi = jnp.argmin(pen_f)
+    ei = jnp.argmin(pen_e)
+    pf = pen_f[fi]
+    pe = pen_e[ei]
+    use_edge = pe < pf - 1e-5 * jnp.abs(pf)
+
+    axis = jnp.where(use_edge, edge_axes[ei], face_axes[fi])
+    s = jnp.sign(axis @ t)
+    s = jnp.where(s == 0, 1.0, s).astype(dtype)
+    a = axis * s  # oriented box1 -> box2
+
+    # ---- 2-D frame perpendicular to the axis
+    seed = jnp.where(
+        jnp.abs(a[2]) > 0.9,
+        jnp.asarray([0.0, 1.0, 0.0], dtype),
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+    )
+    u = seed - (seed @ a) * a
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    v = jnp.cross(a, u)
+
+    loop = jnp.asarray(
+        [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], dtype
+    )
+
+    def support_face(p, R, h, toward):
+        """Face of the box most aligned with `toward`: (corners3d (4,3),
+        plane point c, outward normal m)."""
+        dots = R.T @ toward
+        k = jnp.argmax(jnp.abs(dots))
+        sk = jnp.sign(dots[k])
+        sk = jnp.where(sk == 0, 1.0, sk).astype(dtype)
+        m = jnp.take(R.T, k, axis=0) * sk
+        c = p + m * h[k]
+        fu = jnp.take(R.T, (k + 1) % 3, axis=0) * h[(k + 1) % 3]
+        fv = jnp.take(R.T, (k + 2) % 3, axis=0) * h[(k + 2) % 3]
+        corners = c[None, :] + loop[:, 0:1] * fu[None, :] + loop[:, 1:2] * fv[None, :]
+        return corners, c, m
+
+    C1, c1p, m1 = support_face(p1, R1, h1, a)    # box1 face toward +a
+    C2, c2p, m2 = support_face(p2, R2, h2, -a)   # box2 face toward -a
+
+    O = p1
+    to2d = lambda P: jnp.stack([(P - O) @ u, (P - O) @ v], axis=-1)
+    Q1 = to2d(C1)  # (4,2)
+    Q2 = to2d(C2)
+
+    # axial coordinate of each face plane at 2-D point (x,y):
+    #   alpha_i(x,y) = ((c_i - O) . m_i - x (u.m_i) - y (v.m_i)) / (a.m_i)
+    am1 = a @ m1
+    am2 = a @ m2
+
+    def alpha(xy, cp, m, am):
+        return ((cp - O) @ m - xy[..., 0] * (u @ m) - xy[..., 1] * (v @ m)) / am
+
+    def depth_at(xy):
+        return alpha(xy, c2p, m2, am2) - alpha(xy, c1p, m1, am1)
+
+    # candidates: corners of each quad inside the other (+ containment test)
+    def inside(pts, quad):
+        e = jnp.roll(quad, -1, 0) - quad               # (4,2)
+        rel = pts[:, None, :] - quad[None, :, :]       # (N,4,2)
+        cz = e[None, :, 0] * rel[..., 1] - e[None, :, 1] * rel[..., 0]
+        return jnp.all(cz >= -1e-12, axis=1) | jnp.all(cz <= 1e-12, axis=1)
+
+    act_c1 = inside(Q1, Q2)
+    act_c2 = inside(Q2, Q1)
+
+    # 16 segment-segment crossings
+    A1 = jnp.repeat(Q1, 4, axis=0)                     # (16,2)
+    B1 = jnp.repeat(jnp.roll(Q1, -1, 0), 4, axis=0)
+    A2 = jnp.tile(Q2, (4, 1))
+    B2 = jnp.tile(jnp.roll(Q2, -1, 0), (4, 1))
+    d1 = B1 - A1
+    d2 = B2 - A2
+    den = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    w0 = A2 - A1
+    tt = (w0[:, 0] * d2[:, 1] - w0[:, 1] * d2[:, 0]) / jnp.where(
+        jnp.abs(den) < 1e-14, 1.0, den
+    )
+    ss = (w0[:, 0] * d1[:, 1] - w0[:, 1] * d1[:, 0]) / jnp.where(
+        jnp.abs(den) < 1e-14, 1.0, den
+    )
+    xpt = A1 + tt[:, None] * d1
+    act_x = (
+        (jnp.abs(den) >= 1e-14)
+        & (tt >= 0.0) & (tt <= 1.0)
+        & (ss >= 0.0) & (ss <= 1.0)
+    )
+
+    pts = jnp.concatenate([Q1, Q2, xpt], axis=0)       # (24,2)
+    act = jnp.concatenate([act_c1, act_c2, act_x])
+    dep = depth_at(pts)
+    act = act & (dep < margin)
+
+    # dedup coincident active points (keep lowest slot)
+    diff = jnp.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    same = (diff < 1e-9) & act[:, None] & act[None, :]
+    act = act & ~jnp.any(jnp.tril(same, k=-1), axis=1)
+
+    al1 = alpha(pts, c1p, m1, am1)
+    pos = (
+        O[None, :]
+        + pts[:, 0:1] * u[None, :]
+        + pts[:, 1:2] * v[None, :]
+        + (al1 + 0.5 * dep)[:, None] * a[None, :]
+    )
+    normal = jnp.broadcast_to(a, (_BB_SLOTS, 3))
+    return dep, pos, normal, act
+
+
+def _box_box_manifold(model, kin, g1, g2, margin):
+    """Vectorized over pairs. Returns (dist (P,25), pos, normal, active,
+    body1 (P,), body2 (P,))."""
+    pos1, R1, bb1 = _geom_world(model, kin, g1)
+    pos2, R2, bb2 = _geom_world(model, kin, g2)
+    h1 = model.geom_size[g1]
+    h2 = model.geom_size[g2]
+    d, p, n, a = jax.vmap(_box_box_one)(pos1, R1, h1, pos2, R2, h2, margin)
+    return d, p, n, a, bb1, bb2
+
+
 def _combine(model, g1, g2):
     """mj_collideGeoms pair combination: max friction, SUM of margins."""
     mu = jnp.maximum(model.geom_friction[g1, 0], model.geom_friction[g2, 0])
@@ -253,44 +412,27 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         mus.append(mu)
         margins.append(margin)
 
-    # ---- box vs box: corner-SDF candidates both directions ----
+    # ---- box vs box: SAT manifold (mjc_BoxBox semantics, reverse-
+    # engineered empirically — tools/analyze_boxbox.py / axis_rule_boxbox.py:
+    # normal = min-penetration axis of 6 faces + 9 edge crosses, face axes
+    # preferred within 1e-5 relative; face case emits the rect/quad
+    # intersection-polygon vertices with per-point plane depth; edge case
+    # emits the segment closest-point midpoint at the SAT depth) ----
     if len(pl["bb"]):
         g1 = jnp.asarray(pl["bb"][:, 0])
         g2 = jnp.asarray(pl["bb"][:, 1])
-        pos1, R1, bb1 = _geom_world(model, kin, g1)
-        pos2, R2, bb2 = _geom_world(model, kin, g2)
-        h1 = model.geom_size[g1]
-        h2 = model.geom_size[g2]
-        corners = jnp.asarray(
-            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-            dtype=dtype,
-        )  # (8,3)
         mu, margin = _combine(model, g1, g2)
-
-        def corner_contacts(pa, Ra, ha, pb, Rb_, hb, flip):
-            # corners of A tested against B's SDF
-            cw = pa[:, None, :] + jnp.einsum(
-                "pij,cj->pci", Ra, corners
-            ) * ha[:, None, :]  # (P,8,3)
-            local = jnp.einsum("pji,pcj->pci", Rb_, cw - pb[:, None, :])
-            d, n_local = _box_sdf(local, hb[:, None, :])
-            n_world = jnp.einsum("pij,pcj->pci", Rb_, n_local)
-            # outward normal of B points away from B; contact normal 1->2
-            nrm = jnp.where(flip, n_world, -n_world)
-            p_surf = cw - 0.5 * d[..., None] * n_world
-            return d, p_surf, nrm
-
-        dA, pA, nA = corner_contacts(pos1, R1, h1, pos2, R2, h2, flip=False)
-        dB, pB, nB = corner_contacts(pos2, R2, h2, pos1, R1, h1, flip=True)
-        for (dd, pp, nn) in ((dA, pA, nA), (dB, pB, nB)):
-            P = dd.shape[0]
-            dists.append(dd.reshape(-1))
-            poss.append(pp.reshape(-1, 3))
-            normals.append(nn.reshape(-1, 3))
-            b1s.append(jnp.repeat(bb1, 8))
-            b2s.append(jnp.repeat(bb2, 8))
-            mus.append(jnp.repeat(mu, 8))
-            margins.append(jnp.repeat(margin, 8))
+        d_bb, p_bb, n_bb, act_bb, bb1, bb2 = _box_box_manifold(
+            model, kin, g1, g2, margin
+        )
+        S = d_bb.shape[1]  # slots per pair
+        dists.append(jnp.where(act_bb, d_bb, 1e9).reshape(-1))
+        poss.append(p_bb.reshape(-1, 3))
+        normals.append(n_bb.reshape(-1, 3))
+        b1s.append(jnp.repeat(bb1, S))
+        b2s.append(jnp.repeat(bb2, S))
+        mus.append(jnp.repeat(mu, S))
+        margins.append(jnp.repeat(margin, S))
 
     if not dists:
         # no collidable pairs in this model: all slots inactive

@@ -137,14 +137,9 @@ def test_reach_obs_and_reward_formula(model64, ref):
     )
 
 
-@pytest.mark.xfail(
-    reason="box-box (ankle-ankle) manifold narrowphase not yet MuJoCo-exact; "
-    "random flailing crosses the feet within 50 steps",
-    strict=False,
-)
 def test_speed_closed_loop_trajectory(model64, ref):
-    """50 closed-loop control steps with identical actions: qpos within 1e-2,
-    reward within 5e-3 (BASELINE parity gate is 1e-2 over 150 steps)."""
+    """150 closed-loop control steps with identical actions: qpos within
+    1e-2, reward within 5e-3 (the BASELINE.md parity gate)."""
     env_ref = make_ref_env(ref, "HumanoidSpeed")
     env_ref.reset(seed=0)
     ours = HumanoidSpeed(model64)
@@ -153,7 +148,7 @@ def test_speed_closed_loop_trajectory(model64, ref):
 
     step = jax.jit(ours.step)
     rng = np.random.RandomState(7)
-    for t in range(50):
+    for t in range(150):
         a = rng.uniform(-0.3, 0.3, ours.action_size)
         obs_ref, rew_ref, term_ref, trunc_ref, _ = env_ref.step(a)
         st = step(st, jnp.asarray(a))
