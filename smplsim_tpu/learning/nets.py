@@ -52,7 +52,9 @@ class PolicyGaussian(nn.Module):
         mean = nn.Dense(self.action_dim)(h)
         log_std = self.param(
             "log_std",
-            lambda key, shape: jnp.full(shape, self.log_std_init),
+            # explicit dtype: a weak-typed init would retrace the train step
+            # after the first optimizer update changes it to strong
+            lambda key, shape: jnp.full(shape, self.log_std_init, jnp.float32),
             (self.action_dim,),
         )
         if self.fixed_std:
