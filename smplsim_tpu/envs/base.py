@@ -156,8 +156,9 @@ class HumanoidEnv:
         return task, terminated
 
     # ---------------- core ----------------
-    def _init_phys(self, key: jax.Array) -> PhysicsState:
-        model, cfg = self.model, self.config
+    def _init_phys(self, key: jax.Array, model: RobotModel | None = None) -> PhysicsState:
+        cfg = self.config
+        model = self.model if model is None else model
         dtype = model.qpos0.dtype
         qpos = jnp.zeros(model.nq, dtype)
         qvel = jnp.zeros(model.nv, dtype)
@@ -196,9 +197,11 @@ class HumanoidEnv:
         raise NotImplementedError(cfg.state_init)
 
     def compute_obs(
-        self, task: Any, phys: PhysicsState, kin: kinematics.Kin
+        self, task: Any, phys: PhysicsState, kin: kinematics.Kin,
+        model: RobotModel | None = None,
     ) -> jax.Array:
-        model, cfg = self.model, self.config
+        cfg = self.config
+        model = self.model if model is None else model
         body_rot = kinematics.body_quats(model, phys.qpos)
         if cfg.self_obs_v == 1:
             prop = obs_mod.compute_self_obs_v1(
@@ -216,19 +219,24 @@ class HumanoidEnv:
         tobs = self.task_obs(task, phys, kin)
         return jnp.concatenate([prop, tobs]) if tobs.shape[0] else prop
 
-    def reset(self, key: jax.Array) -> EnvState:
-        """Full reset: task first, then humanoid (humanoid_task.py:6-9)."""
+    def reset(self, key: jax.Array, model: RobotModel | None = None) -> EnvState:
+        """Full reset: task first, then humanoid (humanoid_task.py:6-9).
+
+        `model` optionally overrides the env's RobotModel arrays as traced
+        data (same tree structure/static fields) — the hook domain
+        randomization and per-env body shapes thread through."""
+        model = self.model if model is None else model
         k_task, k_init, k_next = jax.random.split(key, 3)
         cur_t = jnp.zeros((), jnp.int32)
         task = self.reset_task(k_task, self.init_task(k_task), cur_t)
-        phys = self._init_phys(k_init)
-        kin = kinematics.fk(self.model, phys.qpos)
-        obs = self.compute_obs(task, phys, kin)
+        phys = self._init_phys(k_init, model)
+        kin = kinematics.fk(model, phys.qpos)
+        obs = self.compute_obs(task, phys, kin, model)
         dtype = phys.qpos.dtype
         # reset_sim() runs mj_forward after init (humanoid_env.py:509-511),
         # making the first control step's stale cache fresh-at-reset
         cache = (
-            engine.pd_cache(self.model, phys)
+            engine.pd_cache(model, phys)
             if self.config.control_mode == "uhc_pd" else None
         )
         return EnvState(
@@ -244,8 +252,10 @@ class HumanoidEnv:
             pd_cache=cache,
         )
 
-    def step(self, state: EnvState, action: jax.Array) -> EnvState:
-        model, cfg = self.model, self.config
+    def step(self, state: EnvState, action: jax.Array,
+             model: RobotModel | None = None) -> EnvState:
+        cfg = self.config
+        model = self.model if model is None else model
         action = jnp.asarray(action, state.phys.qpos.dtype)
         if cfg.clip_actions:
             action = jnp.clip(action, -1.0, 1.0)
@@ -269,7 +279,7 @@ class HumanoidEnv:
         # --- post-physics
         cur_t = state.cur_t + 1
         kin = kinematics.fk(model, phys.qpos)
-        obs = self.compute_obs(task, phys, kin)
+        obs = self.compute_obs(task, phys, kin, model)
         rew = self.reward(task, phys, kin, action)
 
         truncated = cur_t > cfg.episode_length
@@ -292,13 +302,14 @@ class HumanoidEnv:
             pd_cache=cache,
         )
 
-    def step_autoreset(self, state: EnvState, action: jax.Array) -> EnvState:
+    def step_autoreset(self, state: EnvState, action: jax.Array,
+                       model: RobotModel | None = None) -> EnvState:
         """Step, then reset any done env in-place (GymVectEnv semantics,
         smpl_sim/envs/nv/gymwrapper.py:40-62). Reward/done flags of the
         finishing step are preserved; obs/phys/task come from the reset."""
-        nxt = self.step(state, action)
+        nxt = self.step(state, action, model)
         k_reset, k_carry = jax.random.split(nxt.rng)
-        fresh = self.reset(k_reset)
+        fresh = self.reset(k_reset, model)
         fresh = fresh.replace(
             reward=nxt.reward,
             terminated=nxt.terminated,

@@ -18,7 +18,6 @@ import io
 from typing import Any
 
 import numpy as np
-from scipy.spatial import ConvexHull
 
 from smplsim_tpu.models.gains import STABLEPD_GAINS
 
@@ -96,6 +95,8 @@ class RobotConfig:
 def compute_hull_dict(verts, jts, skin_weights, joint_names):
     """Per-joint convex hulls of the argmax-skin-weight vertex groups
     (smpl_local_robot.py get_geom_dict:146-173)."""
+    from smplsim_tpu import native
+
     vert_to_joint = np.asarray(skin_weights).argmax(axis=1)
     hulls = {}
     for jind, jname in enumerate(joint_names):
@@ -103,8 +104,10 @@ def compute_hull_dict(verts, jts, skin_weights, joint_names):
         if len(vind) == 0:
             continue
         norm_verts = np.asarray(verts)[vind] - np.asarray(jts)[jind]
-        hull = ConvexHull(norm_verts)
-        hulls[jname] = {"norm_verts": norm_verts, "volume": hull.volume}
+        faces, volume = native.convex_hull(norm_verts)
+        hulls[jname] = {
+            "norm_verts": norm_verts, "volume": volume, "faces": faces,
+        }
     return hulls
 
 

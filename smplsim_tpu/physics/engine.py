@@ -98,6 +98,7 @@ def control_step(
     control_mode: str = "uhc_pd",
     power_scale: float = 1.0,
     cache=None,
+    pd_target_mask=None,
 ):
     """One control step = control_freq_inv substeps, torque recomputed per
     substep (reference physics_step, humanoid_env.py:439-453).
@@ -114,6 +115,10 @@ def control_step(
 
     if control_mode == "uhc_pd":
         target = ctrl_mod.pd_target_from_action(model, action)
+        if pd_target_mask is not None:
+            # freeze_hand/toe/neck zero the PD target of masked joints
+            # (reference pre_physics_step, nv/humanoid.py:2042-2073)
+            target = target * pd_target_mask
         M0, C0 = pd_cache(model, state) if cache is None else cache
         # forward at the reset pose, for mjWARN_BADQACC-style recovery
         reset_state = init_state(model)

@@ -92,10 +92,12 @@ def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> Constraint
         f_newton = jnp.maximum(jax.scipy.linalg.cho_solve((chol, True), b * am) * am, 0.0)
         d = f_newton - f
         cands = jnp.maximum(f[None, :] + steps[:, None] * d[None, :], 0.0)
-        vals = jax.vmap(objective)(cands)
-        vals = jnp.concatenate([vals, objective(f)[None]])
         cands = jnp.concatenate([cands, f[None, :]], axis=0)
-        return cands[jnp.argmin(vals)], None
+        vals = 0.5 * jnp.einsum("sk,kl,sl->s", cands, A, cands) - cands @ b
+        # one-hot argmin select: a dynamic-index gather here becomes a
+        # batched gather under vmap, which is catastrophically slow on TPU
+        w = jax.nn.one_hot(jnp.argmin(vals), cands.shape[0], dtype=dtype)
+        return w @ cands, None
 
     f0 = jnp.zeros(K, dtype=dtype)
     f, _ = jax.lax.scan(newton_iter, f0, None, length=NEWTON_ITERS)

@@ -111,12 +111,20 @@ def quat_to_exp_map(q: jax.Array) -> jax.Array:
 
 
 def exp_map_to_quat(e: jax.Array, eps: float = 1e-9) -> jax.Array:
-    """Axis-angle vector (...,3) -> quat, safe at zero."""
-    angle = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    """Axis-angle vector (...,3) -> quat, safe at zero in VALUE and GRADIENT.
+
+    The double-where guard keeps sqrt's argument bounded away from 0 on the
+    unselected branch so reverse-mode AD never sees d(sqrt)/dx at 0 (the
+    standard JAX safe-norm idiom); pose-fitting differentiates through this
+    at exactly-zero joint angles."""
+    sq = jnp.sum(e * e, axis=-1, keepdims=True)
+    small = sq <= eps * eps
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
     half = 0.5 * angle
-    # sin(x)/x is smooth; use series-safe form.
-    k = jnp.where(angle > eps, jnp.sin(half) / jnp.maximum(angle, eps), 0.5)
-    return jnp.concatenate([jnp.cos(half), e * k], axis=-1)
+    # sin(x)/x is smooth; series limit 0.5 at zero angle
+    k = jnp.where(small, 0.5, jnp.sin(half) / angle)
+    cos_half = jnp.where(small, 1.0, jnp.cos(half))
+    return jnp.concatenate([cos_half, e * k], axis=-1)
 
 
 def quat_to_matrix(q: jax.Array) -> jax.Array:

@@ -108,7 +108,7 @@ def test_cem_beats_zero_policy():
 
 def test_cem_sharded_mesh():
     """CEM sampling sharded over 8 CPU devices with global elite selection."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from smplsim_tpu.envs import HumanoidSpeed, SpeedConfig
@@ -130,7 +130,7 @@ def test_cem_sharded_mesh():
         solve, mesh=mesh,
         in_specs=(P(), jax.tree.map(lambda _: P(), st)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     a0, mean, cost = jax.jit(sharded)(jax.random.PRNGKey(1), st)
     assert a0.shape == (env.action_size,)

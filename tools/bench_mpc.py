@@ -25,7 +25,7 @@ def main():
     horizon = int(kv.get("horizon", 4))
     n_solves = int(kv.get("solves", 5))
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from smplsim_tpu.control import CEMConfig, CEMPlanner
@@ -70,7 +70,7 @@ def main():
         sharded = jax.jit(shard_map(
             solve, mesh=mesh,
             in_specs=(P(), jax.tree.map(lambda _: P(), st)),
-            out_specs=(P(), P(), P()), check_rep=False,
+            out_specs=(P(), P(), P()), check_vma=False,
         ))
         rn = timed_solves(sharded, f"{n_dev}-device mesh")
         print(json.dumps({"scaling_efficiency": round(rn / r1 / 1.0, 3)}))
