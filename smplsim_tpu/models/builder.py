@@ -433,6 +433,7 @@ def build_robot_model(
     hull_dict = compute_hull_dict(verts, jts, skin_weights, joint_names)
     xml = build_mjcf(joint_offsets, parents_dict, joint_range, hull_dict, cfg)
     model = mjcf_mod.parse_mjcf(xml, dtype=dtype)
+    model = model.replace(humanoid_type=cfg.model)
     if cfg.upright_start:
         height = float(verts[:, 2].max() - verts[:, 2].min())
     else:

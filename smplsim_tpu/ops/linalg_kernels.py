@@ -1,0 +1,177 @@
+"""Batched Cholesky / triangular-solve Pallas TPU kernels.
+
+Same batch-in-lanes design as ops/qp_kernel.py: a (n, n, 128)-lane block of
+systems is DMA'd to VMEM once and the whole column recurrence runs on-chip.
+These back physics/linalg's `cholesky` / `solve_lower` / `solve_lower_t`
+through custom_vmap — per-env physics code keeps calling the single-matrix
+API; under `vmap` on TPU the batch lands here, elsewhere the pure-JAX SoA
+implementations run (and remain the parity oracle).
+
+Matrices are padded to a multiple of 8 rows (sublane tile) with identity,
+right-hand sides with zeros; the batch pads to the 128-lane width.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BB = 128
+
+
+def _pad_n(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+# ---------------------------------------------------------------------------
+# kernels (per block: A (n,n,BB), rhs (n,m,BB))
+# ---------------------------------------------------------------------------
+def _chol_kernel(A_ref, L_ref, *, n: int):
+    bb = A_ref.shape[-1]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, bb), 0)
+    L_ref[:] = A_ref[:]
+
+    def col(j, _):
+        rowj = L_ref[pl.ds(j, 1), :, :][0]                      # (n,BB)
+        rowj = jnp.where(row_i < j, rowj, 0.0)
+        s = jnp.sum(L_ref[:] * rowj[None, :, :], axis=1)        # (n,BB)
+        colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+        c = colj - s
+        pj = jnp.sum(jnp.where(row_i == j, c, 0.0), axis=0, keepdims=True)
+        pivot = jnp.sqrt(pj)
+        newcol = jnp.where(
+            row_i == j, pivot, jnp.where(row_i > j, c / pivot, 0.0)
+        )
+        L_ref[:, pl.ds(j, 1), :] = newcol[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, col, 0)
+
+
+def _solve_lower_kernel(L_ref, b_ref, x_ref, *, n: int, trans: bool):
+    row_i3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    x_ref[:] = b_ref[:]
+
+    def fwd(j, _):
+        colj = L_ref[:, pl.ds(j, 1), :]                         # (n,1,BB)
+        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
+                      keepdims=True)                            # (1,1,BB)
+        xj = x_ref[pl.ds(j, 1), :, :] / piv                     # (1,m,BB)
+        x = x_ref[:]
+        x_ref[:] = jnp.where(row_i3 > j, x - colj * xj, x)
+        x_ref[pl.ds(j, 1), :, :] = xj
+        return 0
+
+    def bwd(t, _):
+        j = n - 1 - t
+        colj = L_ref[:, pl.ds(j, 1), :]                         # (n,1,BB)
+        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
+                      keepdims=True)
+        # s = sum_{k>j} L[k,j] x[k]
+        s = jnp.sum(jnp.where(row_i3 > j, colj * x_ref[:], 0.0), axis=0,
+                    keepdims=True)                              # (1,m,BB)
+        x_ref[pl.ds(j, 1), :, :] = (x_ref[pl.ds(j, 1), :, :] - s) / piv
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd if trans else fwd, 0)
+
+
+# ---------------------------------------------------------------------------
+# batched wrappers (B, ...) -> (B, ...)
+# ---------------------------------------------------------------------------
+def _to_lanes(x, bb=BB):
+    """(B, ...) -> (..., Bp) with lane padding; returns (xt, B, Bp)."""
+    Bn = x.shape[0]
+    pad = (-Bn) % bb
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return jnp.moveaxis(x, 0, -1), Bn, Bn + pad
+
+
+@functools.partial(jax.jit)
+def cholesky_batched(A):
+    """A (B,n,n) SPD -> lower L (B,n,n)."""
+    Bn, n = A.shape[0], A.shape[-1]
+    np_ = _pad_n(n)
+    if np_ != n:
+        eye = jnp.eye(np_, dtype=A.dtype)[n:]
+        A = jnp.concatenate(
+            [jnp.pad(A, ((0, 0), (0, 0), (0, np_ - n))),
+             jnp.tile(eye[None], (Bn, 1, 1))], axis=1
+        )
+    At, Bn, Bp = _to_lanes(A)
+    # padded batch entries must stay SPD: splice identity on the diagonal
+    pad_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Bp), 2) >= Bn
+    eye3 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+    At = jnp.where(pad_lane, eye3.astype(At.dtype), At)
+
+    Lt = pl.pallas_call(
+        functools.partial(_chol_kernel, n=np_),
+        out_shape=jax.ShapeDtypeStruct((np_, np_, Bp), A.dtype),
+        grid=(Bp // BB,),
+        in_specs=[pl.BlockSpec((np_, np_, BB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((np_, np_, BB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+    )(At)
+    return jnp.moveaxis(Lt, -1, 0)[:Bn, :n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("trans",))
+def solve_lower_batched(L, b, trans: bool = False):
+    """L (B,n,n) lower; b (B,n) or (B,n,m). Solves L x = b (or L^T x = b)."""
+    Bn, n = L.shape[0], L.shape[-1]
+    vec = b.ndim == 2
+    if vec:
+        b = b[..., None]
+    m = b.shape[-1]
+    np_ = _pad_n(n)
+    mp = max(_pad_n(m) if m > 1 else 1, 1)
+    if np_ != n:
+        # pad L with identity block, b with zero rows
+        Lp = jnp.zeros((Bn, np_, np_), L.dtype)
+        Lp = Lp.at[:, :n, :n].set(L)
+        Lp = Lp.at[:, n:, n:].set(jnp.eye(np_ - n, dtype=L.dtype))
+        L = Lp
+        b = jnp.pad(b, ((0, 0), (0, np_ - n), (0, 0)))
+    if mp != m:
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, mp - m)))
+
+    MCHUNK = 32
+    if mp > MCHUNK:
+        mp2 = (mp + MCHUNK - 1) // MCHUNK * MCHUNK
+        if mp2 != mp:
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, mp2 - mp)))
+            mp = mp2
+        mchunk = MCHUNK
+    else:
+        mchunk = mp
+    Lt, _, Bp = _to_lanes(L)
+    bt, Bn, _ = _to_lanes(b)
+    # padded lanes: identity matrix avoids 0/0
+    pad_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Bp), 2) >= Bn
+    eye3 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+    Lt = jnp.where(pad_lane, eye3.astype(Lt.dtype), Lt)
+
+    xt = pl.pallas_call(
+        functools.partial(_solve_lower_kernel, n=np_, trans=trans),
+        out_shape=jax.ShapeDtypeStruct((np_, mp, Bp), L.dtype),
+        grid=(Bp // BB, mp // mchunk),
+        in_specs=[
+            pl.BlockSpec((np_, np_, BB), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, mchunk, BB), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((np_, mchunk, BB), lambda i, j: (0, j, i),
+                               memory_space=pltpu.VMEM),
+    )(Lt, bt)
+    x = jnp.moveaxis(xt, -1, 0)[:Bn, :n, :m]
+    return x[..., 0] if vec else x

@@ -1,0 +1,278 @@
+"""Fused Pallas TPU kernel for the contact-QP projected-Newton solve.
+
+The physics substep's hot op: minimize 1/2 f^T A f - b^T f over f >= 0 with a
+fixed count of projected-Newton iterations (masked Cholesky + projected-arc
+line search; see physics/solver.py for the algorithm and its MuJoCo parity).
+
+Why a kernel: each Newton iteration refactorizes the masked 64x64 system.
+Under plain XLA the loop state round-trips HBM every iteration (~40 ms per
+substep at batch 1024). Here one grid step pulls a (K, K, 128)-lane block of
+systems into VMEM and runs ALL iterations on-chip — the batch lives in the
+lane dimension, so every column update is an (K, 128)-wide VPU op and HBM is
+touched exactly twice (read A/b/act, write f).
+
+The public `newton_qp` is a `jax.custom_batching.custom_vmap`: unbatched
+calls (CPU tests, odd shapes, f64) run the reference scan implementation;
+`vmap` over env batches dispatches the whole batch to this kernel on TPU
+(reference path elsewhere) via `jax.lax.platform_dependent`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BB = 128          # batch elements per block = lane width
+NEWTON_ITERS = 12  # keep in sync with physics.solver.NEWTON_ITERS
+
+_LS_STEPS = (1.0, 0.5, 0.25, 0.0625, 0.015625)
+
+
+# ---------------------------------------------------------------------------
+# reference implementation (single system) — the parity oracle
+# ---------------------------------------------------------------------------
+def newton_qp_reference(A, b, active, iters: int = NEWTON_ITERS):
+    """Projected Newton on one K-system (physics/solver.py newton loop)."""
+    from smplsim_tpu.physics import linalg
+
+    dtype = A.dtype
+    K = A.shape[-1]
+    steps = jnp.asarray(_LS_STEPS, dtype)
+
+    def pg_step(f):
+        g = A @ f - b
+        d = jnp.where(((f > 0.0) | (g < 0.0)) & active, -g, 0.0)
+        dAd = d @ (A @ d)
+        alpha = jnp.where(dAd > 1e-30, (d @ d) / jnp.maximum(dAd, 1e-30), 0.0)
+        return jnp.maximum(f + alpha * d, 0.0)
+
+    def newton_iter(f, _):
+        f = pg_step(f)
+        g = A @ f - b
+        act = ((f > 0.0) | (g < 0.0)) & active
+        am = act.astype(dtype)
+        H = A * am[:, None] * am[None, :] + jnp.diag(1.0 - am)
+        chol = linalg.cholesky(H)
+        f_newton = jnp.maximum(linalg.cho_solve(chol, b * am) * am, 0.0)
+        d = f_newton - f
+        cands = jnp.maximum(f[None, :] + steps[:, None] * d[None, :], 0.0)
+        cands = jnp.concatenate([cands, f[None, :]], axis=0)
+        vals = 0.5 * jnp.einsum("sk,kl,sl->s", cands, A, cands) - cands @ b
+        w = jax.nn.one_hot(jnp.argmin(vals), cands.shape[0], dtype=dtype)
+        return w @ cands, None
+
+    f0 = jnp.zeros(K, dtype=dtype)
+    f, _ = jax.lax.scan(newton_iter, f0, None, length=iters)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# the kernel: systems laid out (K, K, BB) / (K, BB), batch in lanes
+# ---------------------------------------------------------------------------
+def _qp_kernel(A_ref, b_ref, act_ref, f_ref, L_ref, y_ref, *, K: int,
+               iters: int):
+    dtype = A_ref.dtype
+    A = A_ref[:]          # (K, K, BB)
+    b = b_ref[:]          # (K, BB)
+    actb = act_ref[:] > 0.5
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (K, BB), 0)      # (K,BB)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)).astype(dtype)
+
+    def matvec(M3, x):
+        # (K,K,BB) x (K,BB) -> (K,BB): contract the middle axis per lane
+        return jnp.sum(M3 * x[None, :, :], axis=1)
+
+    def objective(f):
+        return 0.5 * jnp.sum(f * matvec(A, f), axis=0, keepdims=True) - jnp.sum(
+            b * f, axis=0, keepdims=True
+        )
+
+    def row_at(c, j):
+        # c (K,BB), scalar j -> (1,BB): masked reduce avoids value dyn-slice
+        return jnp.sum(jnp.where(row_i == j, c, 0.0), axis=0, keepdims=True)
+
+    def cholesky_inplace():
+        """Factor L_ref (holds H on entry) in place."""
+
+        def col(j, _):
+            rowj = L_ref[pl.ds(j, 1), :, :][0]                   # (K,BB)
+            rowj = jnp.where(row_i < j, rowj, 0.0)
+            s = matvec(L_ref[:], rowj)
+            colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            c = colj - s
+            pivot = jnp.sqrt(row_at(c, j))                       # (1,BB)
+            newcol = jnp.where(
+                row_i == j, pivot, jnp.where(row_i > j, c / pivot, 0.0)
+            )
+            L_ref[:, pl.ds(j, 1), :] = newcol[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, K, col, 0)
+
+    def cho_solve_inplace():
+        """Solve L L^T x = y_ref in place (forward + back substitution)."""
+
+        def fwd(j, _):
+            colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            piv = row_at(colj, j)
+            yj = y_ref[pl.ds(j, 1), :] / piv
+            y = y_ref[:]
+            y_ref[:] = jnp.where(row_i > j, y - colj * yj, y)
+            y_ref[pl.ds(j, 1), :] = yj
+            return 0
+
+        def bwd(t, _):
+            j = K - 1 - t
+            colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            piv = row_at(colj, j)
+            x = y_ref[:]
+            s = jnp.sum(jnp.where(row_i > j, colj * x, 0.0), axis=0,
+                        keepdims=True)
+            y_ref[pl.ds(j, 1), :] = (y_ref[pl.ds(j, 1), :] - s) / piv
+            return 0
+
+        jax.lax.fori_loop(0, K, fwd, 0)
+        jax.lax.fori_loop(0, K, bwd, 0)
+
+    def pg_step(f):
+        g = matvec(A, f) - b
+        d = jnp.where(((f > 0.0) | (g < 0.0)) & actb, -g, 0.0)
+        dAd = jnp.sum(d * matvec(A, d), axis=0, keepdims=True)
+        dd = jnp.sum(d * d, axis=0, keepdims=True)
+        alpha = jnp.where(dAd > 1e-30, dd / jnp.maximum(dAd, 1e-30), 0.0)
+        return jnp.maximum(f + alpha * d, 0.0)
+
+    def newton_iter(_, f):
+        f = pg_step(f)
+        g = matvec(A, f) - b
+        am = (((f > 0.0) | (g < 0.0)) & actb).astype(dtype)
+        L_ref[:] = (
+            A * am[None, :, :] * am[:, None, :] + eye * (1.0 - am)[None, :, :]
+        )
+        cholesky_inplace()
+        y_ref[:] = b * am
+        cho_solve_inplace()
+        fn = jnp.maximum(y_ref[:] * am, 0.0)
+        d = fn - f
+        # projected-arc line search over the static step ladder (+ staying put)
+        best_f = f
+        best_v = objective(f)
+        for s in _LS_STEPS:
+            cand = jnp.maximum(f + s * d, 0.0)
+            v = objective(cand)
+            better = v < best_v
+            best_f = jnp.where(better, cand, best_f)
+            best_v = jnp.where(better, v, best_v)
+        return best_f
+
+    f = jnp.zeros((K, BB), dtype)
+    f = jax.lax.fori_loop(0, iters, newton_iter, f)
+    f_ref[:] = f
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _newton_qp_pallas(A, b, active, iters: int = NEWTON_ITERS):
+    """Batched solve: A (B,K,K), b (B,K), active (B,K) -> f (B,K)."""
+    Bn, K = b.shape
+    dtype = A.dtype
+    pad = (-Bn) % BB
+    if pad:
+        A = jnp.concatenate(
+            [A, jnp.tile(jnp.eye(K, dtype=dtype)[None], (pad, 1, 1))], axis=0
+        )
+        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        active = jnp.concatenate([active, jnp.zeros((pad, K), bool)], axis=0)
+    Bp = Bn + pad
+
+    # batch -> lanes
+    At = jnp.transpose(A, (1, 2, 0))          # (K,K,Bp)
+    bt = jnp.transpose(b, (1, 0))             # (K,Bp)
+    at = jnp.transpose(active.astype(dtype), (1, 0))
+
+    grid = (Bp // BB,)
+    f_t = pl.pallas_call(
+        functools.partial(_qp_kernel, K=K, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, K, BB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, BB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, K, BB), dtype),
+            pltpu.VMEM((K, BB), dtype),
+        ],
+    )(At, bt, at)
+    return jnp.transpose(f_t, (1, 0))[:Bn]
+
+
+def _newton_qp_batched(A, b, active, iters: int = NEWTON_ITERS):
+    """Batch dispatch: Pallas kernel on TPU, vmapped reference elsewhere."""
+    ref = jax.vmap(lambda a, x, m: newton_qp_reference(a, x, m, iters))
+
+    if A.dtype not in (jnp.float32,):
+        return ref(A, b, active)
+
+    return jax.lax.platform_dependent(
+        A, b, active,
+        tpu=lambda a, x, m: _newton_qp_pallas(a, x, m, iters=iters),
+        default=ref,
+    )
+
+
+@jax.custom_batching.custom_vmap
+def _newton_qp_vmappable(A, b, active):
+    return newton_qp_reference(A, b, active, NEWTON_ITERS)
+
+
+@jax.custom_jvp
+def newton_qp(A, b, active):
+    """Solve min 1/2 f^T A f - b^T f, f >= 0 (one system; vmap for batches —
+    batched calls fuse into one TPU kernel).
+
+    Differentiation uses the implicit-function theorem at the converged
+    active set (iLQR jacfwds through the physics step), not the unrolled
+    iterations: on S = {i : f_i > 0}, A_SS f_S = b_S, so
+    df_S = A_SS^{-1} (db_S - dA_S f)."""
+    return _newton_qp_vmappable(A, b, active)
+
+
+@newton_qp.defjvp
+def _newton_qp_jvp(primals, tangents):
+    from smplsim_tpu.physics import linalg
+
+    A, b, active = primals
+    dA, db, _ = tangents
+    f = _newton_qp_vmappable(A, b, active)
+    am = ((f > 0.0) & active).astype(A.dtype)
+    H = A * am[..., :, None] * am[..., None, :] + jnp.diag(1.0 - am)
+    dA = jnp.zeros_like(A) if isinstance(dA, jax.custom_derivatives.SymbolicZero) else dA
+    db = jnp.zeros_like(b) if isinstance(db, jax.custom_derivatives.SymbolicZero) else db
+    rhs = (db - dA @ f) * am
+    df = linalg.cho_solve(linalg.cholesky(H), rhs) * am
+    return f, df
+
+
+@_newton_qp_vmappable.def_vmap
+def _newton_qp_vmap(axis_size, in_batched, A, b, active):
+    A_b, b_b, act_b = in_batched
+    mv = lambda x, batched: (
+        jnp.moveaxis(x, 0, 0) if batched else
+        jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    )
+    # normalize: all inputs batched on axis 0
+    A = A if A_b else jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+    b = b if b_b else jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    active = active if act_b else jnp.broadcast_to(
+        active[None], (axis_size,) + active.shape
+    )
+    return _newton_qp_batched(A, b, active), True

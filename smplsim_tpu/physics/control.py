@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from smplsim_tpu.physics import linalg
+
 from smplsim_tpu.models.spec import RobotModel
 
 
@@ -50,8 +52,8 @@ def stable_pd_torque(
     )
     rhs = -C - kp * qpos_err - kd * qvel
     H = M + jnp.diag(kd) * dt
-    chol = jnp.linalg.cholesky(H)
-    qacc = jax.scipy.linalg.cho_solve((chol, True), rhs)
+    chol = linalg.cholesky(H)
+    qacc = linalg.cho_solve(chol, rhs)
     tau = -(model.jkp * kp_scale) * qpos_err[6:] - (model.jkd * kd_scale) * (
         qvel[6:] + qacc[6:] * dt
     )

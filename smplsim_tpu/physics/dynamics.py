@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from smplsim_tpu.models.spec import RobotModel
+from smplsim_tpu.physics import linalg
 from smplsim_tpu.physics import algebra
 from smplsim_tpu.physics.kinematics import Kin
 from smplsim_tpu.physics.topology import tree_masks
@@ -98,6 +99,6 @@ def smooth_dynamics(
         + passive_forces(model, qvel)
         - bias_forces(model, kin, qvel)
     )
-    chol = jnp.linalg.cholesky(M)
-    qacc = jax.scipy.linalg.cho_solve((chol, True), qfrc)
+    chol = linalg.cholesky(M)
+    qacc = linalg.cho_solve(chol, qfrc)
     return Smooth(M=M, chol=chol, qfrc_smooth=qfrc, qacc_smooth=qacc)

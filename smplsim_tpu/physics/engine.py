@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from smplsim_tpu.models.spec import RobotModel
+from smplsim_tpu.physics import linalg
 from smplsim_tpu.physics import constraints, dynamics, integrator, kinematics, solver
 
 
@@ -75,8 +76,8 @@ def _forward_smooth(model: RobotModel, state: PhysicsState, tau: jax.Array):
         + dynamics.passive_forces(model, state.qvel)
         - C
     )
-    chol = jnp.linalg.cholesky(M)
-    qacc_smooth = jax.scipy.linalg.cho_solve((chol, True), qfrc)
+    chol = linalg.cholesky(M)
+    qacc_smooth = linalg.cho_solve(chol, qfrc)
     smooth = dynamics.Smooth(M=M, chol=chol, qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
     efc = constraints.make_efc(model, kin, state.qpos, state.qvel)
     return kin, smooth, efc, M, C

@@ -45,60 +45,12 @@ def numpy_lbs(betas, pose_aa, v_template, shapedirs, posedirs, J_reg, parents, W
     return verts, joints
 
 
-def make_synthetic_smpl(rng, n_extra=40):
-    """SMPL-like data dict over the baked humanoid's 24-joint skeleton."""
-    baked = registry.default_humanoid(dtype=jnp.float64)
-    # zero-pose joint positions by accumulating offsets
-    J = baked.nbody
-    mj_names = list(baked.body_names)
-    jpos_mj = np.zeros((J, 3))
-    for b in range(J):
-        p = baked.parents[b]
-        jpos_mj[b] = np.asarray(baked.body_pos[b]) + (jpos_mj[p] if p >= 0 else 0)
-    # reorder to SMPL bone order with SMPL kintree parents
-    smpl_names = SMPL_BONE_ORDER_NAMES
-    jpos = np.stack([jpos_mj[mj_names.index(n)] for n in smpl_names])
-    parents = []
-    for i, n in enumerate(smpl_names):
-        if i == 0:
-            parents.append(-1)
-        else:
-            p_mj = baked.parents[mj_names.index(n)]
-            parents.append(smpl_names.index(mj_names[p_mj]))
-    kintree = np.zeros((2, len(smpl_names)), dtype=np.int64)
-    kintree[0] = np.asarray(parents)
-    kintree[0, 0] = 2**31 - 1  # SMPL pkl convention for the root
+from tests.synthetic_body import make_synthetic_body
 
-    verts, weights, jreg_rows = [], [], []
-    for j, n in enumerate(smpl_names):
-        # 4 anchor verts tetrahedrally around the joint (regressor support)
-        anchors = jpos[j] + 0.01 * np.array(
-            [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]]
-        )
-        # blob of extra verts around the bone for hull volume
-        blob = jpos[j] + rng.normal(scale=0.05, size=(n_extra, 3))
-        verts.append(np.concatenate([anchors, blob]))
-        w = np.zeros((4 + n_extra, len(smpl_names)))
-        w[:, j] = 1.0
-        weights.append(w)
-        row = np.zeros((4 + n_extra) * len(smpl_names))
-        jreg_rows.append((j, 0.25))
-    v_template = np.concatenate(verts)
-    W = np.concatenate(weights)
-    V = v_template.shape[0]
-    J_reg = np.zeros((len(smpl_names), V))
-    per = 4 + n_extra
-    for j in range(len(smpl_names)):
-        J_reg[j, j * per : j * per + 4] = 0.25
-    shapedirs = rng.normal(scale=0.002, size=(V, 3, 10))
-    return {
-        "v_template": v_template,
-        "shapedirs": shapedirs,
-        "posedirs": rng.normal(scale=0.0005, size=(V, 3, 23 * 9)),
-        "J_regressor": J_reg,
-        "weights": W,
-        "kintree_table": kintree,
-    }
+
+def make_synthetic_smpl(rng, n_extra=40):
+    """Shared generator (tests/synthetic_body.py), SMPL 24-joint variant."""
+    return make_synthetic_body(rng, "smpl", n_extra=n_extra)
 
 
 @pytest.fixture(scope="module")
