@@ -21,8 +21,8 @@ import numpy as np
 from smplsim_tpu.body_model.lbs import lbs
 from smplsim_tpu.motion import joint_names as JN
 
-_NUM_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55}
-_NUM_POSE = {"smpl": 72, "smplh": 156, "smplx": 165}
+_NUM_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55, "mano": 16}
+_NUM_POSE = {"smpl": 72, "smplh": 156, "smplx": 165, "mano": 48}
 
 
 def _to_np(x) -> np.ndarray:
@@ -86,6 +86,13 @@ class SMPLParser:
         self.parents = tuple(int(p) for p in parents)
         if model_type == "smpl":
             self.joint_names = list(JN.SMPL_BONE_ORDER_NAMES)
+        elif model_type == "mano":
+            # hand-only model (reference MANO_Parser, smpl_parser.py:541);
+            # side from gender arg: "left"/"right"
+            self.joint_names = list(
+                JN.MANO_LEFT_BONE_ORDER_NAMES if gender == "left"
+                else JN.MANO_RIGHT_BONE_ORDER_NAMES
+            )
         else:
             self.joint_names = list(JN.SMPLH_BONE_ORDER_NAMES)[: J]
         # default joint ranges: +-pi, elbows/shoulders x4

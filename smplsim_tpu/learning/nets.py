@@ -62,6 +62,45 @@ class PolicyGaussian(nn.Module):
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 
+class PolicyMCP(nn.Module):
+    """Multiplicative composition policy (reference learning/policy_mcp.py:8-36):
+    N primitive MLP mean heads blended by a softmax composer network; shared
+    state-independent log_std."""
+
+    action_dim: int
+    num_primitive: int = 4
+    widths: Sequence[int] = (2048, 1536, 1024, 1024, 512, 512)
+    composer_widths: Sequence[int] = (300, 200)
+    activation: str = "silu"
+    log_std_init: float = -2.5
+    fixed_std: bool = True
+
+    @nn.compact
+    def __call__(self, obs):
+        means = []
+        for _ in range(self.num_primitive):
+            h = MLP(self.widths, self.activation)(obs)
+            # 0.1-scaled mean head like the reference primitives
+            means.append(nn.Dense(
+                self.action_dim,
+                kernel_init=nn.initializers.variance_scaling(
+                    0.01, "fan_in", "truncated_normal"
+                ),
+            )(h))
+        x_all = jnp.stack(means, axis=-2)                 # (..., N, A)
+        hc = MLP(self.composer_widths, self.activation)(obs)
+        w = nn.softmax(nn.Dense(self.num_primitive)(hc), axis=-1)
+        mean = jnp.sum(w[..., None] * x_all, axis=-2)     # (..., A)
+        log_std = self.param(
+            "log_std",
+            lambda key, shape: jnp.full(shape, self.log_std_init, jnp.float32),
+            (self.action_dim,),
+        )
+        if self.fixed_std:
+            log_std = jax.lax.stop_gradient(log_std)
+        return mean, jnp.broadcast_to(log_std, mean.shape)
+
+
 class ValueNet(nn.Module):
     widths: Sequence[int] = (2048, 1536, 1024, 1024, 512, 512)
     activation: str = "silu"

@@ -25,6 +25,14 @@ SMPLH_BONE_ORDER_NAMES = (
 # SMPLH drops L_Hand/R_Hand and appends 15 finger joints per hand: 52 total
 assert len(SMPLH_BONE_ORDER_NAMES) == 52
 
+MANO_LEFT_BONE_ORDER_NAMES = [
+    "L_Wrist",
+    "L_Index1", "L_Index2", "L_Index3", "L_Middle1", "L_Middle2", "L_Middle3",
+    "L_Pinky1", "L_Pinky2", "L_Pinky3", "L_Ring1", "L_Ring2", "L_Ring3",
+    "L_Thumb1", "L_Thumb2", "L_Thumb3",
+]
+MANO_RIGHT_BONE_ORDER_NAMES = [n.replace("L_", "R_") for n in MANO_LEFT_BONE_ORDER_NAMES]
+
 SMPL_MUJOCO_NAMES = [
     "Pelvis", "L_Hip", "L_Knee", "L_Ankle", "L_Toe", "R_Hip", "R_Knee",
     "R_Ankle", "R_Toe", "Torso", "Spine", "Chest", "Neck", "Head",

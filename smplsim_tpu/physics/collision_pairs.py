@@ -383,15 +383,30 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
             d, _ = _box_sdf(pt, half)
             return d
 
-        # golden-section search on the (convex) SDF along the segment
+        # golden-section search on the (convex) SDF along the segment.
+        # Proper probe reuse: ONE new SDF evaluation per iteration (the
+        # surviving interior probe becomes the other probe of the shrunk
+        # bracket) — half the narrowphase cost of the naive two-probe loop,
+        # identical bracket sequence.
         lo = jnp.zeros(lp.shape[0], dtype)
         hi = jnp.ones(lp.shape[0], dtype)
+        m1 = lo + 0.382 * (hi - lo)
+        m2 = lo + 0.618 * (hi - lo)
+        f1, f2 = sdf_at(m1), sdf_at(m2)
         for _ in range(24):
-            m1 = lo + 0.382 * (hi - lo)
-            m2 = lo + 0.618 * (hi - lo)
-            keep_lo = sdf_at(m1) < sdf_at(m2)
-            hi = jnp.where(keep_lo, m2, hi)
+            keep_lo = f1 < f2
             lo = jnp.where(keep_lo, lo, m1)
+            hi = jnp.where(keep_lo, m2, hi)
+            new_pt = jnp.where(
+                keep_lo, lo + 0.382 * (hi - lo), lo + 0.618 * (hi - lo)
+            )
+            f_new = sdf_at(new_pt)
+            m1, f1, m2, f2 = (
+                jnp.where(keep_lo, new_pt, m2),
+                jnp.where(keep_lo, f_new, f2),
+                jnp.where(keep_lo, m1, new_pt),
+                jnp.where(keep_lo, f1, f_new),
+            )
         t_star = 0.5 * (lo + hi)
         pt_local = lp + t_star[..., None] * (lq - lp)
         d, n_local = _box_sdf(pt_local, half)
