@@ -288,6 +288,60 @@ def _box_box_one(p1, R1, h1, p2, R2, h2, margin):
     return dep, pos, normal, act
 
 
+@jax.custom_batching.custom_vmap
+def _box_box_pairs_op(pos1, R1, h1, pos2, R2, h2, margin):
+    """Per-env box-box manifolds over P pairs. Under the engine's env vmap
+    the batched rule reroutes to the lanes-last formulation
+    (physics/boxbox_lanes.py) — full lane utilization instead of 3-wide
+    minor dims."""
+    return jax.vmap(_box_box_one)(pos1, R1, h1, pos2, R2, h2, margin)
+
+
+@_box_box_pairs_op.def_vmap
+def _box_box_pairs_vmap(axis_size, in_batched, pos1, R1, h1, pos2, R2, h2,
+                        margin):
+    from smplsim_tpu.physics import boxbox_lanes
+
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x[None], (axis_size,) + x.shape
+        )
+
+    pos1, R1, h1, pos2, R2, h2, margin = (
+        bc(x, b) for x, b in zip(
+            (pos1, R1, h1, pos2, R2, h2, margin), in_batched
+        )
+    )
+    B, P = margin.shape
+    N = B * P
+    tv = lambda x: jnp.moveaxis(x.reshape((N,) + x.shape[2:]), 0, -1)
+    d, p, n, a = boxbox_lanes.box_box_lanes(
+        tv(pos1), tv(R1), tv(h1), tv(pos2), tv(R2), tv(h2),
+        margin.reshape(N),
+    )
+    # back to (B,P,24[,3])
+    dep = jnp.moveaxis(d, -1, 0).reshape(B, P, _BB_SLOTS)
+    pos = jnp.moveaxis(p, -1, 0).reshape(B, P, _BB_SLOTS, 3)
+    nrm = jnp.broadcast_to(
+        jnp.moveaxis(n, -1, 0).reshape(B, P, 1, 3), (B, P, _BB_SLOTS, 3)
+    )
+    act = jnp.moveaxis(a, -1, 0).reshape(B, P, _BB_SLOTS)
+    return (dep, pos, nrm, act), (True, True, True, True)
+
+
+@jax.custom_jvp
+def box_box_manifold_op(pos1, R1, h1, pos2, R2, h2, margin):
+    return _box_box_pairs_op(pos1, R1, h1, pos2, R2, h2, margin)
+
+
+@box_box_manifold_op.defjvp
+def _box_box_manifold_jvp(primals, tangents):
+    # differentiate the reference path (plain ops); iLQR-scale workloads only
+    return jax.jvp(
+        lambda *args: jax.vmap(_box_box_one)(*args), primals, tangents
+    )
+
+
 def _box_box_manifold(model, kin, g1, g2, margin):
     """Vectorized over pairs. Returns (dist (P,25), pos, normal, active,
     body1 (P,), body2 (P,))."""
@@ -295,7 +349,7 @@ def _box_box_manifold(model, kin, g1, g2, margin):
     pos2, R2, bb2 = _geom_world(model, kin, g2)
     h1 = model.geom_size[g1]
     h2 = model.geom_size[g2]
-    d, p, n, a = jax.vmap(_box_box_one)(pos1, R1, h1, pos2, R2, h2, margin)
+    d, p, n, a = box_box_manifold_op(pos1, R1, h1, pos2, R2, h2, margin)
     return d, p, n, a, bb1, bb2
 
 
