@@ -68,11 +68,34 @@ class AgentHumanoid:
         return jax.tree.map(jnp.asarray, restored)
 
     # ---------------- logging ----------------
+    def _maybe_init_wandb(self):
+        """Optional wandb mirroring (reference run.py:49-59 wandb init with
+        resume); enabled by cfg.wandb=True and a working wandb install."""
+        if getattr(self, "_wandb", None) is not None:
+            return self._wandb
+        self._wandb = False
+        if getattr(self.cfg, "wandb", False):
+            try:
+                import wandb
+
+                wandb.init(
+                    project=getattr(self.cfg, "wandb_project", "smplsim_tpu"),
+                    name=self.cfg.exp_name, resume="allow",
+                    id=self.cfg.exp_name, config=dataclasses_asdict(self.cfg),
+                )
+                self._wandb = wandb
+            except Exception:
+                pass
+        return self._wandb
+
     def log(self, record: dict[str, Any]):
         line = json.dumps({k: _py(v) for k, v in record.items()})
         with open(os.path.join(self.out_dir, "log.txt"), "a") as f:
             f.write(line + "\n")
         print(line, flush=True)
+        wb = self._maybe_init_wandb()
+        if wb:
+            wb.log({k: _py(v) for k, v in record.items()})
 
     # ---------------- training ----------------
     def optimize_policy(self, num_epochs: int | None = None):
@@ -148,6 +171,15 @@ class AgentHumanoid:
         }
         self.log(out)
         return out
+
+
+def dataclasses_asdict(cfg):
+    import dataclasses
+
+    try:
+        return dataclasses.asdict(cfg)
+    except Exception:
+        return {}
 
 
 def _py(v):

@@ -33,6 +33,8 @@ class RunConfig:
     num_epochs: int = 1000
     save_frequency: int = 50
     test: bool = False
+    wandb: bool = False            # mirror log records to wandb when available
+    wandb_project: str = "smplsim_tpu"
     env: EnvConfig = dataclasses.field(default_factory=SpeedConfig)
     robot: RobotConfig = dataclasses.field(default_factory=RobotConfig)
     learning: PPOConfig = dataclasses.field(default_factory=PPOConfig)

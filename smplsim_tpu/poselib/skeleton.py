@@ -286,6 +286,18 @@ class SkeletonMotion(SkeletonState):
         self.fps = fps
 
     @classmethod
+    def from_fbx(cls, fbx_file_path, *args, **kwargs):
+        """The reference reads FBX through a py2.7 FBX-SDK subprocess
+        (poselib/backend/fbx/fbx_read_wrapper.py) — an external proprietary
+        SDK this rebuild does not bundle. Convert the clip to npz/pkl
+        (names, parents, local rotations, root translation, fps) and use
+        the constructors here instead."""
+        raise NotImplementedError(
+            "FBX import requires the external Autodesk FBX SDK; export the "
+            "motion to npz/pkl and build a SkeletonMotion directly."
+        )
+
+    @classmethod
     def from_skeleton_state(cls, state: SkeletonState, fps=30):
         return cls(state.skeleton_tree, state.local_rotation,
                    state.root_translation, fps)
