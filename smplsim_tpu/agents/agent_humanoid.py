@@ -130,8 +130,13 @@ class AgentHumanoid:
 
     # ---------------- eval ----------------
     def run_policy(self, n_episodes: int = 4, horizon: int = 300,
-                   stochastic: bool = False):
-        """Deterministic (mean-action) eval rollouts; returns metrics."""
+                   stochastic: bool = False, record_path: str | None = None):
+        """Deterministic (mean-action) eval rollouts; returns metrics.
+
+        record_path: optionally dump the rollout state trajectories
+        (qpos/qvel/reward/done per step) to a joblib pkl — the reference's
+        record-states-on-keypress feature (base_env.py:181-201), here as an
+        explicit eval artifact."""
         from smplsim_tpu.learning.nets import sample_action
         from smplsim_tpu.learning.running_norm import normalize
 
@@ -155,15 +160,30 @@ class AgentHumanoid:
                 alive = alive * (1.0 - st2.done.astype(jnp.float32))
                 return (st2, ret, alive, length), None
 
-            (st, ret, alive, length), _ = jax.lax.scan(
-                body,
+            def body_rec(carry, k):
+                carry, _ = body(carry, k)
+                st2 = carry[0]
+                rec = {
+                    "qpos": st2.phys.qpos, "qvel": st2.phys.qvel,
+                    "reward": st2.reward, "done": st2.done,
+                }
+                return carry, rec
+
+            (st, ret, alive, length), traj = jax.lax.scan(
+                body_rec,
                 (st, jnp.zeros(()), jnp.ones(()), jnp.zeros(())),
                 jax.random.split(key, horizon),
             )
-            return ret, length
+            return ret, length, traj
 
         keys = jax.random.split(jax.random.PRNGKey(self.cfg.seed + 1), n_episodes)
-        rets, lengths = jax.jit(jax.vmap(rollout))(keys)
+        rets, lengths, traj = jax.jit(jax.vmap(rollout))(keys)
+        if record_path:
+            import joblib
+
+            joblib.dump(
+                {k: np.asarray(v) for k, v in traj.items()}, record_path
+            )
         out = {
             "eval_return_mean": float(jnp.mean(rets)),
             "eval_return_std": float(jnp.std(rets)),
