@@ -374,6 +374,7 @@ class NvHumanoid(HumanoidEnv):
             power_scale=cfg.power_scale,
             cache=state.pd_cache,
             pd_target_mask=self.pd_target_mask(),
+            reset_ref=self._reset_ref if model is self.model else None,
         )
 
         cur_t = state.cur_t + 1
@@ -413,5 +414,6 @@ class NvHumanoid(HumanoidEnv):
             phys=phys, obs=obs, reward=rew,
             terminated=terminated, truncated=truncated,
             cur_t=cur_t, rng=k_next, task=task,
-            info={"power": power}, pd_cache=cache,
+            info={"power": power, "nactive": info_last.nactive_max},
+            pd_cache=cache, kin=kin,
         )

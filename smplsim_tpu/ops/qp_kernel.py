@@ -1,8 +1,8 @@
 """Fused Pallas TPU kernel for the contact-QP projected-Newton solve.
 
-The physics substep's hot op: minimize 1/2 f^T A f - b^T f over f >= 0 with a
-fixed count of projected-Newton iterations (masked Cholesky + projected-arc
-line search; see physics/solver.py for the algorithm and its MuJoCo parity).
+The physics substep's hot op: minimize 1/2 f^T A f - b^T f over f >= 0 with
+projected-Newton iterations (masked Cholesky + projected-arc line search; see
+physics/solver.py for the algorithm and its MuJoCo parity).
 
 Why a kernel: each Newton iteration refactorizes the masked 64x64 system.
 Under plain XLA the loop state round-trips HBM every iteration (~40 ms per
@@ -10,6 +10,15 @@ substep at batch 1024). Here one grid step pulls a (K, K, 128)-lane block of
 systems into VMEM and runs ALL iterations on-chip — the batch lives in the
 lane dimension, so every column update is an (K, 128)-wide VPU op and HBM is
 touched exactly twice (read A/b/act, write f).
+
+Warm start + early exit: the solver passes the previous substep's forces as
+f0; iterations stop once every lane in the block satisfies the projected-
+gradient KKT residual  max_i |f_i - max(f_i - g_i, 0)| <= tol * (1 + max|b|)
+(the fixed-point condition of the projection; exactly zero at the unique
+minimizer of the strictly convex QP). At 450 Hz contact sets barely change
+between substeps, so a warm-started block typically converges in 1-3
+iterations instead of the cold-start ~10-12. The iteration cap keeps the
+cold-start behavior (and parity) unchanged in the worst case.
 
 The public `newton_qp` is a `jax.custom_batching.custom_vmap`: unbatched
 calls (CPU tests, odd shapes, f64) run the reference scan implementation;
@@ -26,21 +35,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BB = 128          # batch elements per block = lane width
-NEWTON_ITERS = 12  # keep in sync with physics.solver.NEWTON_ITERS
+NEWTON_ITERS = 12  # iteration cap; keep in sync with physics.solver
 
 _LS_STEPS = (1.0, 0.5, 0.25, 0.0625, 0.015625)
+
+# KKT tolerance (relative to 1 + max|b|). f64 effectively reproduces the
+# fixed-12-iteration result (machine-precision fixed point); f32 stops at
+# the single-precision noise floor.
+_TOLS = {jnp.dtype(jnp.float32): 1e-6, jnp.dtype(jnp.float64): 1e-12}
+
+
+def _tol_for(dtype) -> float:
+    return _TOLS.get(jnp.dtype(dtype), 1e-6)
 
 
 # ---------------------------------------------------------------------------
 # reference implementation (single system) — the parity oracle
 # ---------------------------------------------------------------------------
-def newton_qp_reference(A, b, active, iters: int = NEWTON_ITERS):
+def newton_qp_reference(A, b, active, f0=None, iters: int = NEWTON_ITERS):
     """Projected Newton on one K-system (physics/solver.py newton loop)."""
     from smplsim_tpu.physics import linalg
 
     dtype = A.dtype
     K = A.shape[-1]
     steps = jnp.asarray(_LS_STEPS, dtype)
+    tol = _tol_for(dtype) * (1.0 + jnp.max(jnp.abs(b)))
+
+    def kkt(f):
+        g = A @ f - b
+        return jnp.max(jnp.abs(f - jnp.maximum(f - g, 0.0)) * active)
 
     def pg_step(f):
         g = A @ f - b
@@ -49,7 +72,7 @@ def newton_qp_reference(A, b, active, iters: int = NEWTON_ITERS):
         alpha = jnp.where(dAd > 1e-30, (d @ d) / jnp.maximum(dAd, 1e-30), 0.0)
         return jnp.maximum(f + alpha * d, 0.0)
 
-    def newton_iter(f, _):
+    def newton_iter(f):
         f = pg_step(f)
         g = A @ f - b
         act = ((f > 0.0) | (g < 0.0)) & active
@@ -62,26 +85,40 @@ def newton_qp_reference(A, b, active, iters: int = NEWTON_ITERS):
         cands = jnp.concatenate([cands, f[None, :]], axis=0)
         vals = 0.5 * jnp.einsum("sk,kl,sl->s", cands, A, cands) - cands @ b
         w = jax.nn.one_hot(jnp.argmin(vals), cands.shape[0], dtype=dtype)
-        return w @ cands, None
+        return w @ cands
 
-    f0 = jnp.zeros(K, dtype=dtype)
-    f, _ = jax.lax.scan(newton_iter, f0, None, length=iters)
+    if f0 is None:
+        f0 = jnp.zeros(K, dtype=dtype)
+    f0 = jnp.maximum(f0, 0.0) * active
+
+    def cond(carry):
+        i, f = carry
+        return (i < iters) & (kkt(f) > tol)
+
+    def body(carry):
+        i, f = carry
+        return i + 1, newton_iter(f)
+
+    _, f = jax.lax.while_loop(cond, body, (jnp.int32(0), f0))
     return f
 
 
 # ---------------------------------------------------------------------------
 # the kernel: systems laid out (K, K, BB) / (K, BB), batch in lanes
 # ---------------------------------------------------------------------------
-def _qp_kernel(A_ref, b_ref, act_ref, f_ref, L_ref, y_ref, *, K: int,
-               iters: int):
+def _qp_kernel(A_ref, b_ref, act_ref, f0_ref, f_ref, L_ref, y_ref, done_ref,
+               *, K: int, iters: int, tol: float):
     dtype = A_ref.dtype
     A = A_ref[:]          # (K, K, BB)
     b = b_ref[:]          # (K, BB)
     actb = act_ref[:] > 0.5
+    actf = act_ref[:]
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (K, BB), 0)      # (K,BB)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)).astype(dtype)
+
+    tol_lane = tol * (1.0 + jnp.max(jnp.abs(b), axis=0, keepdims=True))
 
     def matvec(M3, x):
         # (K,K,BB) x (K,BB) -> (K,BB): contract the middle axis per lane
@@ -91,6 +128,12 @@ def _qp_kernel(A_ref, b_ref, act_ref, f_ref, L_ref, y_ref, *, K: int,
         return 0.5 * jnp.sum(f * matvec(A, f), axis=0, keepdims=True) - jnp.sum(
             b * f, axis=0, keepdims=True
         )
+
+    def kkt_done(f):
+        g = matvec(A, f) - b
+        r = jnp.max(jnp.abs(f - jnp.maximum(f - g, 0.0)) * actf, axis=0,
+                    keepdims=True)
+        return jnp.all(r <= tol_lane)
 
     def row_at(c, j):
         # c (K,BB), scalar j -> (1,BB): masked reduce avoids value dyn-slice
@@ -147,8 +190,8 @@ def _qp_kernel(A_ref, b_ref, act_ref, f_ref, L_ref, y_ref, *, K: int,
         alpha = jnp.where(dAd > 1e-30, dd / jnp.maximum(dAd, 1e-30), 0.0)
         return jnp.maximum(f + alpha * d, 0.0)
 
-    def newton_iter(_, f):
-        f = pg_step(f)
+    def newton_iter():
+        f = pg_step(f_ref[:])
         g = matvec(A, f) - b
         am = (((f > 0.0) | (g < 0.0)) & actb).astype(dtype)
         L_ref[:] = (
@@ -168,16 +211,25 @@ def _qp_kernel(A_ref, b_ref, act_ref, f_ref, L_ref, y_ref, *, K: int,
             better = v < best_v
             best_f = jnp.where(better, cand, best_f)
             best_v = jnp.where(better, v, best_v)
-        return best_f
+        f_ref[:] = best_f
+        done_ref[0] = jnp.where(kkt_done(best_f), 1, 0)
 
-    f = jnp.zeros((K, BB), dtype)
-    f = jax.lax.fori_loop(0, iters, newton_iter, f)
-    f_ref[:] = f
+    f0 = jnp.maximum(f0_ref[:], 0.0) * actf
+    f_ref[:] = f0
+    done_ref[0] = jnp.where(kkt_done(f0), 1, 0)
+
+    def body(_, __):
+        @pl.when(done_ref[0] == 0)
+        def _run():
+            newton_iter()
+        return 0
+
+    jax.lax.fori_loop(0, iters, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def _newton_qp_pallas(A, b, active, iters: int = NEWTON_ITERS):
-    """Batched solve: A (B,K,K), b (B,K), active (B,K) -> f (B,K)."""
+def _newton_qp_pallas(A, b, active, f0, iters: int = NEWTON_ITERS):
+    """Batched solve: A (B,K,K), b (B,K), active (B,K), f0 (B,K) -> f (B,K)."""
     Bn, K = b.shape
     dtype = A.dtype
     pad = (-Bn) % BB
@@ -187,21 +239,24 @@ def _newton_qp_pallas(A, b, active, iters: int = NEWTON_ITERS):
         )
         b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
         active = jnp.concatenate([active, jnp.zeros((pad, K), bool)], axis=0)
+        f0 = jnp.concatenate([f0, jnp.zeros((pad, K), dtype)], axis=0)
     Bp = Bn + pad
 
     # batch -> lanes
     At = jnp.transpose(A, (1, 2, 0))          # (K,K,Bp)
     bt = jnp.transpose(b, (1, 0))             # (K,Bp)
     at = jnp.transpose(active.astype(dtype), (1, 0))
+    ft = jnp.transpose(f0, (1, 0))
 
     grid = (Bp // BB,)
     f_t = pl.pallas_call(
-        functools.partial(_qp_kernel, K=K, iters=iters),
+        functools.partial(_qp_kernel, K=K, iters=iters, tol=_tol_for(dtype)),
         out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((K, K, BB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -210,49 +265,57 @@ def _newton_qp_pallas(A, b, active, iters: int = NEWTON_ITERS):
         scratch_shapes=[
             pltpu.VMEM((K, K, BB), dtype),
             pltpu.VMEM((K, BB), dtype),
+            pltpu.SMEM((1,), jnp.int32),
         ],
-    )(At, bt, at)
+    )(At, bt, at, ft)
     return jnp.transpose(f_t, (1, 0))[:Bn]
 
 
-def _newton_qp_batched(A, b, active, iters: int = NEWTON_ITERS):
+def _newton_qp_batched(A, b, active, f0, iters: int = NEWTON_ITERS):
     """Batch dispatch: Pallas kernel on TPU, vmapped reference elsewhere."""
-    ref = jax.vmap(lambda a, x, m: newton_qp_reference(a, x, m, iters))
+    ref = jax.vmap(lambda a, x, m, w: newton_qp_reference(a, x, m, w, iters))
 
     if A.dtype not in (jnp.float32,):
-        return ref(A, b, active)
+        return ref(A, b, active, f0)
 
     return jax.lax.platform_dependent(
-        A, b, active,
-        tpu=lambda a, x, m: _newton_qp_pallas(a, x, m, iters=iters),
+        A, b, active, f0,
+        tpu=lambda a, x, m, w: _newton_qp_pallas(a, x, m, w, iters=iters),
         default=ref,
     )
 
 
 @jax.custom_batching.custom_vmap
-def _newton_qp_vmappable(A, b, active):
-    return newton_qp_reference(A, b, active, NEWTON_ITERS)
+def _newton_qp_vmappable(A, b, active, f0):
+    return newton_qp_reference(A, b, active, f0, NEWTON_ITERS)
 
 
 @jax.custom_jvp
-def newton_qp(A, b, active):
+def newton_qp(A, b, active, f0=None):
     """Solve min 1/2 f^T A f - b^T f, f >= 0 (one system; vmap for batches —
-    batched calls fuse into one TPU kernel).
+    batched calls fuse into one TPU kernel). f0 optionally warm-starts the
+    iteration (the previous substep's forces); the solution of the strictly
+    convex QP is unique, so f0 affects iteration count, not the answer.
 
     Differentiation uses the implicit-function theorem at the converged
     active set (iLQR jacfwds through the physics step), not the unrolled
     iterations: on S = {i : f_i > 0}, A_SS f_S = b_S, so
     df_S = A_SS^{-1} (db_S - dA_S f)."""
-    return _newton_qp_vmappable(A, b, active)
+    if f0 is None:
+        f0 = jnp.zeros_like(b)
+    return _newton_qp_vmappable(A, b, active, f0)
 
 
 @newton_qp.defjvp
 def _newton_qp_jvp(primals, tangents):
     from smplsim_tpu.physics import linalg
 
-    A, b, active = primals
-    dA, db, _ = tangents
-    f = _newton_qp_vmappable(A, b, active)
+    A, b, active, *rest = primals
+    dA, db = tangents[0], tangents[1]
+    f0 = rest[0] if rest else None
+    if f0 is None:
+        f0 = jnp.zeros_like(b)
+    f = _newton_qp_vmappable(A, b, active, f0)
     am = ((f > 0.0) & active).astype(A.dtype)
     H = A * am[..., :, None] * am[..., None, :] + jnp.diag(1.0 - am)
     dA = jnp.zeros_like(A) if isinstance(dA, jax.custom_derivatives.SymbolicZero) else dA
@@ -263,16 +326,13 @@ def _newton_qp_jvp(primals, tangents):
 
 
 @_newton_qp_vmappable.def_vmap
-def _newton_qp_vmap(axis_size, in_batched, A, b, active):
-    A_b, b_b, act_b = in_batched
-    mv = lambda x, batched: (
-        jnp.moveaxis(x, 0, 0) if batched else
-        jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-    )
+def _newton_qp_vmap(axis_size, in_batched, A, b, active, f0):
+    A_b, b_b, act_b, f0_b = in_batched
     # normalize: all inputs batched on axis 0
     A = A if A_b else jnp.broadcast_to(A[None], (axis_size,) + A.shape)
     b = b if b_b else jnp.broadcast_to(b[None], (axis_size,) + b.shape)
     active = active if act_b else jnp.broadcast_to(
         active[None], (axis_size,) + active.shape
     )
-    return _newton_qp_batched(A, b, active), True
+    f0 = f0 if f0_b else jnp.broadcast_to(f0[None], (axis_size,) + f0.shape)
+    return _newton_qp_batched(A, b, active, f0), True

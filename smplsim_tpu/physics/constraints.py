@@ -25,6 +25,7 @@ from smplsim_tpu.physics.topology import tree_masks
 
 MAX_CONTACTS = 24   # floor contacts kept per env (deepest-first)
 MAX_LIMITS = 12     # joint-limit rows kept per env
+NEFC = MAX_LIMITS + 4 * MAX_CONTACTS + 4 * MAX_SELF  # total fixed EFC rows
 _BIG = 1e9
 
 
@@ -147,7 +148,19 @@ def floor_contacts(model: RobotModel, kin: Kin):
 
     from smplsim_tpu import transforms as T
 
-    offset_local = sign_j * g_size                  # (P,3) in geom frame
+    # endpoint offsets along the geom-frame axes: boxes use size as-is
+    # (corner = (+-sx, +-sy, +-sz)); capsules store half-LENGTH in size[1]
+    # (MuJoCo convention) and their segment runs along geom-frame z, so the
+    # z component must read size[1], not size[2] (which is 0 for capsules)
+    is_cap = jnp.asarray(
+        np.asarray(
+            [model.geom_type[g] == GEOM_CAPSULE for g in geom_idx], np.bool_
+        )
+    )
+    size_eff = g_size.at[:, 2].set(
+        jnp.where(is_cap, g_size[:, 1], g_size[:, 2])
+    )
+    offset_local = sign_j * size_eff                # (P,3) in geom frame
     p_world = x_b + jnp.einsum(
         "pij,pj->pi", R_b, g_pos + T.quat_rotate(g_quat, offset_local)
     )
@@ -225,17 +238,18 @@ def make_efc(
         + jnp.stack([t1, -t1, t2, -t2])[None, :, :] * mu[:, None, None]
     )  # (C,4,3)
 
-    # point jacobian per dof: v_point = S_ang x p + S_lin
-    Sang, Slin = kin.S[:, :3], kin.S[:, 3:]
-    Jp = (
-        jnp.cross(
-            Sang[None, :, :],
-            jnp.broadcast_to(c_pos[:, None, :], (MAX_CONTACTS, nv, 3)),
-        )
-        + Slin[None, :, :]
-    )  # (C,nv,3)
+    # J[c,k,v] = dir . (S_ang[v] x pos[c] + S_lin[v]) * mask[c,v]
+    #          = S[v] . [pos[c] x dir[c,k]; dir[c,k]] * mask[c,v]
+    # (scalar triple product) — one (4C,6)x(6,nv) MXU matmul instead of the
+    # (C,nv,3) point-jacobian intermediate (42x tile padding on the 3-axis)
     dofmask = body_dof[c_body]  # (C,nv)
-    c_J = jnp.einsum("ckd,cvd,cv->ckv", dirs, Jp, dofmask)  # (C,4,nv)
+    W6 = jnp.concatenate(
+        [jnp.cross(jnp.broadcast_to(c_pos[:, None, :], dirs.shape), dirs), dirs],
+        axis=-1,
+    )  # (C,4,6)
+    c_J = (W6.reshape(4 * MAX_CONTACTS, 6) @ kin.S.T).reshape(
+        MAX_CONTACTS, 4, nv
+    ) * dofmask[:, None, :]
 
     solimp = jnp.broadcast_to(model.floor_solimp, (MAX_CONTACTS, 5))
     c_x = c_dist - c_margin
@@ -259,15 +273,15 @@ def make_efc(
         sc.normal[:, None, :]
         + jnp.stack([st1, -st1, st2, -st2], axis=1) * s_mu[:, None, None]
     )  # (S,4,3)
-    Jp_s = (
-        jnp.cross(
-            Sang[None, :, :],
-            jnp.broadcast_to(sc.pos[:, None, :], (MAX_SELF, nv, 3)),
-        )
-        + Slin[None, :, :]
-    )  # (S,nv,3)
     relmask = body_dof[sc.body2] - body_dof[sc.body1]  # (S,nv)
-    s_J = jnp.einsum("skd,svd,sv->skv", s_dirs, Jp_s, relmask)
+    W6_s = jnp.concatenate(
+        [jnp.cross(jnp.broadcast_to(sc.pos[:, None, :], s_dirs.shape), s_dirs),
+         s_dirs],
+        axis=-1,
+    )  # (S,4,6)
+    s_J = (W6_s.reshape(4 * MAX_SELF, 6) @ kin.S.T).reshape(
+        MAX_SELF, 4, nv
+    ) * relmask[:, None, :]
     s_solimp = jnp.broadcast_to(model.floor_solimp, (MAX_SELF, 5))
     s_x = sc.dist - sc.margin
     s_imp = impedance(s_solimp, s_x)

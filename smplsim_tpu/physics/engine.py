@@ -28,6 +28,11 @@ class StepInfo(NamedTuple):
     smooth: dynamics.Smooth
     efc: constraints.EFC
     sol: solver.ConstraintSolution
+    # max active EFC rows over the substeps this info summarizes (== the
+    # single substep's count for engine.step). If this reaches
+    # solver.COMPACT_ROWS the compact solve truncated rows and forces are
+    # approximate — see tests/test_getup_parity.py for the regime check.
+    nactive_max: jax.Array | None = None
 
 
 def init_state(model: RobotModel) -> PhysicsState:
@@ -48,18 +53,21 @@ def _state_bad(qpos: jax.Array, qvel: jax.Array, qacc: jax.Array) -> jax.Array:
     return bad(qpos) | bad(qvel) | bad(qacc)
 
 
-def forward(model: RobotModel, state: PhysicsState, ctrl: jax.Array) -> StepInfo:
+def forward(
+    model: RobotModel, state: PhysicsState, ctrl: jax.Array, f_warm=None
+) -> StepInfo:
     """Compute accelerations + constraint forces at the current state."""
     kin = kinematics.fk(model, state.qpos)
     smooth = dynamics.smooth_dynamics(model, kin, state.qvel, ctrl)
     efc = constraints.make_efc(model, kin, state.qpos, state.qvel)
-    sol = solver.solve_constraints(model, smooth, efc)
+    sol = solver.solve_constraints(model, smooth, efc, f_warm)
     return StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol)
 
 
 def step(model: RobotModel, state: PhysicsState, ctrl: jax.Array):
     """One physics substep (mj_step equivalent). Returns (state', StepInfo)."""
     info = forward(model, state, ctrl)
+    info = info._replace(nactive_max=info.sol.nactive)
     qpos, qvel = integrator.euler_step(
         model, state.qpos, state.qvel, info.sol.qacc, model.timestep
     )
@@ -91,6 +99,15 @@ def pd_cache(model: RobotModel, state: PhysicsState):
     return (M, C)
 
 
+def reset_reference(model: RobotModel):
+    """(qpos0, qvel0, M, C) at the reset pose — the mjWARN_BADQACC recovery
+    target. Compute ONCE per model (host/init time) and pass to control_step
+    as `reset_ref` so the hot loop doesn't re-run a constant FK+CRBA+RNEA."""
+    st = init_state(model)
+    M, C = pd_cache(model, st)
+    return (st.qpos, st.qvel, M, C)
+
+
 def control_step(
     model: RobotModel,
     state: PhysicsState,
@@ -100,6 +117,7 @@ def control_step(
     power_scale: float = 1.0,
     cache=None,
     pd_target_mask=None,
+    reset_ref=None,
 ):
     """One control step = control_freq_inv substeps, torque recomputed per
     substep (reference physics_step, humanoid_env.py:439-453).
@@ -108,11 +126,25 @@ def control_step(
     are the PREVIOUS substep's pre-integration values. The scan carries (M,C)
     with exactly that lifecycle. Pass `cache` (from a previous control_step or
     pd_cache()) to continue an episode's MjData lifecycle exactly; None primes
-    with a fresh forward pass (the reference's mj_forward at reset).
+    with a fresh forward pass (the reference's mj_forward at reset). The
+    returned cache is (M, C, efc_force) — the trailing entry warm-starts the
+    next control step's first constraint solve; a 2-tuple (M, C) is accepted
+    on input (cold start).
+
+    `reset_ref` is reset_reference(model), precomputed; None recomputes it
+    inline (constant-folded under jit when `model` is a closure constant,
+    recomputed per call when model is traced).
 
     Returns (state', last StepInfo, power, cache').
     """
+    from smplsim_tpu.physics import constraints as con_mod
     from smplsim_tpu.physics import control as ctrl_mod
+
+    dtype = state.qpos.dtype
+    nefc = con_mod.NEFC
+    if reset_ref is None:
+        reset_ref = reset_reference(model)
+    reset_qpos, reset_qvel, M_reset, C_reset = reset_ref
 
     if control_mode == "uhc_pd":
         target = ctrl_mod.pd_target_from_action(model, action)
@@ -120,34 +152,44 @@ def control_step(
             # freeze_hand/toe/neck zero the PD target of masked joints
             # (reference pre_physics_step, nv/humanoid.py:2042-2073)
             target = target * pd_target_mask
-        M0, C0 = pd_cache(model, state) if cache is None else cache
-        # forward at the reset pose, for mjWARN_BADQACC-style recovery
-        reset_state = init_state(model)
-        M_reset, C_reset = pd_cache(model, reset_state)
+        if cache is None:
+            cache = pd_cache(model, state)
+        if len(cache) == 2:
+            M0, C0 = cache
+            f_w0 = jnp.zeros(nefc, dtype)
+        else:
+            M0, C0, f_w0 = cache
 
         def substep(carry, _):
-            st, M_prev, C_prev, power = carry
+            st, M_prev, C_prev, f_w, power, nact = carry
             tau = ctrl_mod.stable_pd_torque(
                 model, M_prev, C_prev, st.qpos, st.qvel, target
             )
             kin, smooth, efc, M, C = _forward_smooth(model, st, tau)
-            sol = solver.solve_constraints(model, smooth, efc)
+            sol = solver.solve_constraints(model, smooth, efc, f_w)
             qpos, qvel = integrator.euler_step(
                 model, st.qpos, st.qvel, sol.qacc, model.timestep
             )
             bad = _state_bad(st.qpos, st.qvel, sol.qacc)
-            qpos = jnp.where(bad, reset_state.qpos, qpos)
-            qvel = jnp.where(bad, reset_state.qvel, qvel)
+            qpos = jnp.where(bad, reset_qpos, qpos)
+            qvel = jnp.where(bad, reset_qvel, qvel)
             M = jnp.where(bad, M_reset, M)
             C = jnp.where(bad, C_reset, C)
+            f_w = jnp.where(bad, 0.0, sol.efc_force)
             power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
-            info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol)
-            return (PhysicsState(qpos=qpos, qvel=qvel), M, C, power), info
+            nact = jnp.maximum(nact, sol.nactive)
+            info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol,
+                            nactive_max=nact)
+            return (
+                PhysicsState(qpos=qpos, qvel=qvel), M, C, f_w, power, nact
+            ), info
 
         # first n-1 substeps discard StepInfo (a scan output would stack it
         # across substeps — gigabytes at batch 4096); final substep runs
         # outside the scan so only ITS info materializes
-        carry = (state, M0, C0, jnp.zeros((), state.qpos.dtype))
+        carry = (
+            state, M0, C0, f_w0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
+        )
         if control_freq_inv > 1:
             def substep_noinfo(carry, _):
                 return substep(carry, None)[0], None
@@ -156,29 +198,36 @@ def control_step(
                 substep_noinfo, carry, None, length=control_freq_inv - 1
             )
         carry, last_info = substep(carry, None)
-        state, M_last, C_last, power = carry
-        return state, last_info, power, (M_last, C_last)
-
-    reset_state = init_state(model)
+        state, M_last, C_last, f_w, power, _ = carry
+        return state, last_info, power, (M_last, C_last, f_w)
 
     def substep(carry, _):
-        st, power = carry
+        st, f_w, power, nact = carry
         if control_mode == "torque":
             tau = ctrl_mod.torque_ctrl(model, action, power_scale)
         elif control_mode == "default":
             tau = action
         else:
             raise NotImplementedError(control_mode)
-        st2, info = step(model, st, tau)
+        info = forward(model, st, tau, f_warm=f_w)
+        qpos, qvel = integrator.euler_step(
+            model, st.qpos, st.qvel, info.sol.qacc, model.timestep
+        )
+        st2 = PhysicsState(qpos=qpos, qvel=qvel)
         bad = _state_bad(st.qpos, st.qvel, info.sol.qacc)
         st2 = PhysicsState(
-            qpos=jnp.where(bad, reset_state.qpos, st2.qpos),
-            qvel=jnp.where(bad, reset_state.qvel, st2.qvel),
+            qpos=jnp.where(bad, reset_qpos, st2.qpos),
+            qvel=jnp.where(bad, reset_qvel, st2.qvel),
         )
+        f_w = jnp.where(bad, 0.0, info.sol.efc_force)
         power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
-        return (st2, power), info
+        nact = jnp.maximum(nact, info.sol.nactive)
+        return (st2, f_w, power, nact), info._replace(nactive_max=nact)
 
-    carry = (state, jnp.zeros((), state.qpos.dtype))
+    carry = (
+        state, jnp.zeros(nefc, dtype), jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32),
+    )
     if control_freq_inv > 1:
         def substep_noinfo(carry, _):
             return substep(carry, None)[0], None
@@ -186,5 +235,5 @@ def control_step(
         carry, _ = jax.lax.scan(
             substep_noinfo, carry, None, length=control_freq_inv - 1
         )
-    (state, power), last_info = substep(carry, None)
+    (state, _, power, _), last_info = substep(carry, None)
     return state, last_info, power, None

@@ -141,6 +141,53 @@ def _cholesky_jvp(primals, tangents):
 
 
 @jax.custom_batching.custom_vmap
+def _tri_lower_vmappable(L, b):
+    return solve_lower(L, b)
+
+
+@_tri_lower_vmappable.def_vmap
+def _tri_lower_vmap(axis_size, in_batched, L, b):
+    L_b, b_b = in_batched
+    if not L_b:
+        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
+    if not b_b:
+        b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    if not _is_f32(L, b):
+        return jax.vmap(solve_lower)(L, b), True
+    from smplsim_tpu.ops import linalg_kernels as lk
+
+    return jax.lax.platform_dependent(
+        L, b,
+        tpu=lambda l, r: lk.solve_lower_batched(l, r, trans=False),
+        default=jax.vmap(solve_lower),
+    ), True
+
+
+@jax.custom_jvp
+def tri_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution L x = b (vmap -> fused TPU kernel).
+
+    The half-Delassus building block: the solver forms Y = L^-1 J^T once and
+    takes A = Y^T Y, replacing a full cho_solve (forward + backward pass over
+    K right-hand sides) with a single forward pass."""
+    return _tri_lower_vmappable(L, b)
+
+
+@tri_solve_lower.defjvp
+def _tri_solve_lower_jvp(primals, tangents):
+    L, b = primals
+    dL, db = tangents
+    x = _tri_lower_vmappable(L, b)
+    rhs = jnp.zeros_like(x)
+    if not isinstance(db, jax.custom_derivatives.SymbolicZero):
+        rhs = rhs + db
+    if not isinstance(dL, jax.custom_derivatives.SymbolicZero):
+        rhs = rhs - jnp.tril(dL) @ x
+    dx = solve_lower(L, rhs)
+    return x, dx
+
+
+@jax.custom_batching.custom_vmap
 def _cho_solve_vmappable(L, b):
     return _cho_solve_ref(L, b)
 

@@ -36,15 +36,28 @@ class ConstraintSolution(NamedTuple):
     qacc: jax.Array       # (nv,)
     efc_force: jax.Array  # (nefc,)
     qfrc_constraint: jax.Array  # (nv,)
+    nactive: jax.Array    # () int32: EFC rows active this substep
+    overflow: jax.Array   # () bool: nactive > COMPACT_ROWS (forces truncated)
 
 
-def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> ConstraintSolution:
+def solve_constraints(
+    model: RobotModel, smooth: Smooth, efc: EFC, f_warm: jax.Array | None = None
+) -> ConstraintSolution:
     """Constraint forces via the compact active subsystem.
 
     The full EFC carries nefc fixed-shape rows, mostly inactive; the dense
     dual solve is O(nefc^3)-ish in the Newton loop. Gathering the (at most
     COMPACT_ROWS) active rows first cuts the Newton-loop linear algebra by
-    (nefc/K)^3 with identical results whenever #active <= K.
+    (nefc/K)^3 with identical results whenever #active <= K. `nactive` /
+    `overflow` report when that assumption breaks (contact pile-ups beyond
+    K rows silently lose the shallowest rows; tests/test_getup_parity.py
+    asserts the getup regime stays under K).
+
+    `f_warm` is the previous substep's efc_force in the FULL row layout.
+    Row slots are assigned deepest-first by make_efc's top_k selections,
+    which are stable between 450 Hz substeps except when contacts reorder;
+    a mismatched slot only degrades the warm start (more Newton iterations
+    that substep), never the answer — the QP minimizer is unique.
     """
     nefc = efc.J.shape[0]
     dtype = efc.J.dtype
@@ -52,24 +65,35 @@ def solve_constraints(model: RobotModel, smooth: Smooth, efc: EFC) -> Constraint
 
     # stable top-k on the activity flag keeps active rows in original order
     _, sel = jax.lax.top_k(efc.active.astype(dtype), K)
-    J_c = efc.J[sel]                    # (K, nv)
-    R_c = efc.R[sel]
-    aref_c = efc.aref[sel]
+    # row gather/scatter as one-hot matmuls: batched gathers with dynamic
+    # indices serialize on TPU, (K,nefc)x(nefc,nv) rides the MXU
+    onehot = (sel[:, None] == jnp.arange(nefc)[None, :]).astype(dtype)  # (K,nefc)
+    J_c = onehot @ efc.J                # (K, nv)
+    R_c = onehot @ efc.R
+    aref_c = onehot @ efc.aref
     active = efc.active[sel]
 
-    # Delassus operator A = J M^-1 J^T (+R on the diagonal)
-    MiJt = linalg.cho_solve(smooth.chol, J_c.T)  # (nv,K)
-    A = J_c @ MiJt + jnp.diag(R_c)
+    # Delassus operator A = J M^-1 J^T (+R on the diagonal), in Gram form:
+    # Y = L^-1 J^T (ONE triangular pass over K rhs), A = Y^T Y — half the
+    # solve traffic of cho_solve and an MXU matmul for the product
+    Y = linalg.tri_solve_lower(smooth.chol, J_c.T)  # (nv,K)
+    A = Y.T @ Y + jnp.diag(R_c)
     b = aref_c - J_c @ smooth.qacc_smooth
     b = jnp.where(active, b, 0.0)
 
     # projected Newton with projected-arc line search (algorithm + parity
     # notes in ops/qp_kernel.newton_qp_reference; batched env calls fuse into
-    # the Pallas TPU kernel via newton_qp's custom_vmap)
-    f = newton_qp(A, b, active)
+    # the Pallas TPU kernel via newton_qp's custom_vmap). Warm-started from
+    # the previous substep's forces gathered into the fresh row selection.
+    f0 = None if f_warm is None else onehot @ f_warm
+    f = newton_qp(A, b, active, f0)
 
     qfrc = J_c.T @ f
-    qacc = smooth.qacc_smooth + MiJt @ f
+    qacc = smooth.qacc_smooth + linalg.cho_solve(smooth.chol, qfrc)
     # scatter compact forces back to the full row layout
-    efc_force = jnp.zeros(nefc, dtype=dtype).at[sel].set(f)
-    return ConstraintSolution(qacc=qacc, efc_force=efc_force, qfrc_constraint=qfrc)
+    efc_force = onehot.T @ f
+    nactive = jnp.sum(efc.active, dtype=jnp.int32)
+    return ConstraintSolution(
+        qacc=qacc, efc_force=efc_force, qfrc_constraint=qfrc,
+        nactive=nactive, overflow=nactive > K,
+    )

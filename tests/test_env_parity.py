@@ -181,7 +181,8 @@ def test_termination_parity_lying_pose(model64, ref):
     qpos[2] = 0.2
     qpos[3] = 1.0
     st = st.replace(
-        phys=PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.zeros(model64.nv))
+        phys=PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.zeros(model64.nv)),
+        kin=None,  # injected phys: force step() to re-derive FK
     )
 
     # falling from 0.2 m: the trunk reaches the floor within ~30 control

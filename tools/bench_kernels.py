@@ -45,9 +45,10 @@ def main():
     act = rng.uniform(size=(B, K)) > 0.2
     Aj, bj, actj = jnp.asarray(A), jnp.asarray(b), jnp.asarray(act)
 
-    f_pal = np.asarray(qp_kernel._newton_qp_pallas(Aj, bj, actj))
+    f0 = jnp.zeros_like(bj)
+    f_pal = np.asarray(qp_kernel._newton_qp_pallas(Aj, bj, actj, f0))
     f_ref = np.asarray(
-        jax.jit(jax.vmap(qp_kernel.newton_qp_reference))(Aj, bj, actj)
+        jax.jit(jax.vmap(qp_kernel.newton_qp_reference))(Aj, bj, actj, f0)
     )
 
     def obj(f):
@@ -61,9 +62,10 @@ def main():
           f"{(gap > 1e-5).mean() * 100:.1f}% of systems")
     assert gap.max() < 1e-2, "kernel diverged from reference QP solutions"
 
-    timeit("newton_qp pallas (B=1024)", qp_kernel._newton_qp_pallas, Aj, bj, actj)
+    timeit("newton_qp pallas cold (B=1024)", qp_kernel._newton_qp_pallas, Aj, bj, actj, f0)
+    timeit("newton_qp pallas warm (B=1024)", qp_kernel._newton_qp_pallas, Aj, bj, actj, jnp.asarray(f_pal))
     timeit("newton_qp reference (SoA)",
-           jax.jit(jax.vmap(qp_kernel.newton_qp_reference)), Aj, bj, actj)
+           jax.jit(jax.vmap(qp_kernel.newton_qp_reference)), Aj, bj, actj, f0)
 
     # --- linalg kernels ---
     X = rng.normal(size=(B, n, n))

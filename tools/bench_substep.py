@@ -1,0 +1,187 @@
+"""Per-block substep breakdown on real TPU hardware.
+
+Times each stage of the physics substep (fk / smooth dynamics / contact
+assembly pieces / constraint solve pieces) plus the full substep, control
+step, and env step, with honest sustained timing: each measurement is a
+lax.scan of ITERS serialized iterations inside ONE jit (fixed per-program
+dispatch overhead amortized away), synced by a host read of a scalar slice
+(block_until_ready under-reports through the axon tunnel).
+
+    python tools/bench_substep.py            # B=1024 by default
+    BENCH_B=4096 python tools/bench_substep.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B = int(os.environ.get("BENCH_B", 1024))
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
+
+results = {}
+
+
+def timeit(name, make_scan, n=3):
+    """make_scan() -> jitted fn returning a scalar; time ITERS-iteration scans."""
+    fn = make_scan()
+    out = fn()
+    float(np.asarray(out))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    float(np.asarray(out))
+    ms = (time.perf_counter() - t0) / (n * ITERS) * 1e3
+    results[name] = ms
+    print(f"{name:44s} {ms:8.3f} ms/iter")
+    return ms
+
+
+def main():
+    from smplsim_tpu.envs import HumanoidSpeed
+    from smplsim_tpu.models import registry
+    from smplsim_tpu.physics import constraints, dynamics, engine, kinematics, solver
+    from smplsim_tpu.physics import collision_pairs, linalg
+
+    model = registry.default_humanoid(dtype=jnp.float32)
+    env = HumanoidSpeed(model)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.jit(jax.vmap(env.reset))(keys)
+    # scatter the batch into varied (contact-rich-ish) poses: a few random
+    # control steps from default init
+    vstep = jax.jit(jax.vmap(env.step_autoreset))
+    for i in range(5):
+        a = jax.random.uniform(jax.random.PRNGKey(i), (B, env.action_size),
+                               jnp.float32, minval=-1, maxval=1)
+        states = vstep(states, a)
+    qpos = states.phys.qpos
+    qvel = states.phys.qvel
+    ctrl = jax.random.uniform(jax.random.PRNGKey(99), (B, model.nu),
+                              jnp.float32, minval=-20, maxval=20)
+
+    kin = jax.jit(jax.vmap(lambda q: kinematics.fk(model, q)))(qpos)
+    smooth = jax.jit(jax.vmap(lambda k, v, c: dynamics.smooth_dynamics(model, k, v, c)))(
+        kin, qvel, ctrl)
+    efc = jax.jit(jax.vmap(lambda k, q, v: constraints.make_efc(model, k, q, v)))(
+        kin, qpos, qvel)
+
+    def serialized(fn, x0, out_scalar):
+        """Build a jitted ITERS-scan where each iter depends on the last."""
+        def scan_fn():
+            def body(carry, _):
+                eps, x = carry
+                out = fn(jax.tree.map(lambda a: a, x), eps)
+                s = out_scalar(out)
+                return (s * 1e-30, x), None
+            (s, _), _ = jax.lax.scan(body, (jnp.float32(0), x0), None, length=ITERS)
+            return s
+        return jax.jit(scan_fn)
+
+    # ---- fk
+    timeit("fk", lambda: serialized(
+        lambda x, eps: jax.vmap(lambda q: kinematics.fk(model, q))(x + eps),
+        qpos, lambda k: k.xpos.sum()))
+
+    # ---- smooth dynamics (given kin)
+    timeit("smooth_dynamics (CRBA+RNEA+chol75+solve)", lambda: serialized(
+        lambda x, eps: jax.vmap(
+            lambda k, v, c: dynamics.smooth_dynamics(model, k, v, c)
+        )(kin, x + eps, ctrl),
+        qvel, lambda s: s.qacc_smooth.sum()))
+
+    # ---- make_efc pieces
+    timeit("make_efc (total)", lambda: serialized(
+        lambda x, eps: jax.vmap(
+            lambda k, q, v: constraints.make_efc(model, k, q, v)
+        )(kin, x + eps, qvel),
+        qpos, lambda e: e.J.sum()))
+
+    timeit("  floor_contacts (candidates)", lambda: serialized(
+        lambda x, eps: jax.vmap(
+            lambda k: constraints.floor_contacts(
+                model,
+                k._replace(xpos=k.xpos + eps),
+            )
+        )(kin),
+        qpos, lambda out: out[0].sum()))
+
+    timeit("  self_contacts (narrowphase)", lambda: serialized(
+        lambda x, eps: jax.vmap(
+            lambda k: collision_pairs.self_contacts(
+                model, k._replace(xpos=k.xpos + eps)
+            )
+        )(kin),
+        qpos, lambda sc: sc.dist.sum()))
+
+    # ---- solver pieces
+    def e_perturb(e, eps):
+        return e._replace(aref=e.aref + eps)
+
+    timeit("solve_constraints (total)", lambda: serialized(
+        lambda x, eps: jax.vmap(
+            lambda s, e: solver.solve_constraints(model, s, e)
+        )(smooth, e_perturb(efc, eps)),
+        qpos, lambda s: s.qacc.sum()))
+
+    # Delassus assembly only (compact gather + cho_solve K rhs + matmuls)
+    def delassus(s, e):
+        nefc = e.J.shape[0]
+        K = min(solver.COMPACT_ROWS, nefc)
+        _, sel = jax.lax.top_k(e.active.astype(e.J.dtype), K)
+        J_c = e.J[sel]
+        MiJt = linalg.cho_solve(s.chol, J_c.T)
+        A = J_c @ MiJt + jnp.diag(e.R[sel])
+        b = e.aref[sel] - J_c @ s.qacc_smooth
+        return A, b, e.active[sel]
+
+    timeit("  delassus assembly (cho_solve 64rhs)", lambda: serialized(
+        lambda x, eps: jax.vmap(delassus)(smooth, e_perturb(efc, eps)),
+        qpos, lambda ab: ab[0].sum()))
+
+    Ab, bb_, actb = jax.jit(jax.vmap(delassus))(smooth, efc)
+    from smplsim_tpu.ops import qp_kernel
+    f0_cold = jnp.zeros_like(bb_)
+    timeit("  newton_qp kernel cold", lambda: serialized(
+        lambda x, eps: qp_kernel._newton_qp_pallas(Ab, bb_ + eps, actb, f0_cold),
+        qpos, lambda f: f.sum()))
+    f_sol = jax.jit(qp_kernel._newton_qp_pallas)(Ab, bb_, actb, f0_cold)
+    timeit("  newton_qp kernel warm (f0=solution)", lambda: serialized(
+        lambda x, eps: qp_kernel._newton_qp_pallas(Ab, bb_ + eps, actb, f_sol),
+        qpos, lambda f: f.sum()))
+
+    # ---- full substep / control step / env step
+    timeit("engine.step (1 substep)", lambda: serialized(
+        lambda x, eps: jax.vmap(
+            lambda q, v, c: engine.step(
+                model, engine.PhysicsState(q, v), c)
+        )(x + eps, qvel, ctrl),
+        qpos, lambda si: si[0].qpos.sum()))
+
+    def ctrl_step(x, eps):
+        st = jax.vmap(
+            lambda q, v, a: engine.control_step(model, engine.PhysicsState(q + eps, v), a)[0]
+        )(x, qvel, jnp.tanh(ctrl / 20))
+        return st
+
+    timeit("engine.control_step (15 substeps)", lambda: serialized(
+        ctrl_step, qpos, lambda st: st.qpos.sum()))
+
+    timeit("env.step_autoreset (full)", lambda: serialized(
+        lambda x, eps: jax.vmap(env.step_autoreset)(
+            x.replace(phys=x.phys.replace(qpos=x.phys.qpos + eps)),
+            jnp.tanh(ctrl / 20)),
+        states, lambda st: st.phys.qpos.sum()))
+
+    print()
+    cs = results.get("engine.control_step (15 substeps)")
+    if cs:
+        print(f"implied env-steps/s at B={B}: {B / (cs / 1e3):,.0f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,8 @@ for t in range(30):
     qvel = env_ref.mj_data.qvel.copy()
     mujoco.mj_forward(env_ref.mj_model, env_ref.mj_data)
     phys = PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
-    st = st.replace(phys=phys, pd_cache=engine.pd_cache(model64, phys))
+    # kin=None: force step() to re-derive FK for the injected phys
+    st = st.replace(phys=phys, pd_cache=engine.pd_cache(model64, phys), kin=None)
 
     a = rng.uniform(-0.3, 0.3, ours.action_size)
     obs_ref, rew_ref, term_ref, trunc_ref, _ = env_ref.step(a)
