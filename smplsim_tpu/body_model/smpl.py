@@ -84,6 +84,16 @@ class SMPLParser:
         parents = kt[0][:J].copy()
         parents[0] = -1
         self.parents = tuple(int(p) for p in parents)
+        # smplx: the 55-joint tree carries jaw (22) + eyes (23, 24), which
+        # the robot build drops — the exposed skeleton is the 52 SMPLH-named
+        # joints via parents_to_use (reference SMPLX_Parser,
+        # smpl_parser.py:404 'ZL Hack': SMPLX[:22] + SMPLX[25:55] == SMPLH)
+        if model_type == "smplx":
+            self.parents_to_use = np.concatenate(
+                [np.arange(0, 22), np.arange(25, 55)]
+            )
+        else:
+            self.parents_to_use = np.arange(J)
         if model_type == "smpl":
             self.joint_names = list(JN.SMPL_BONE_ORDER_NAMES)
         elif model_type == "mano":
@@ -94,14 +104,18 @@ class SMPLParser:
                 else JN.MANO_RIGHT_BONE_ORDER_NAMES
             )
         else:
-            self.joint_names = list(JN.SMPLH_BONE_ORDER_NAMES)[: J]
-        # default joint ranges: +-pi, elbows/shoulders x4
-        # (smpl_parser.py:100-106)
+            # smplh: all 52; smplx: the 52-joint subset
+            self.joint_names = list(JN.SMPLH_BONE_ORDER_NAMES)
+        # default joint ranges: +-pi; elbows x4, plus shoulders x4 for
+        # smpl/smplh (smpl_parser.py:100-106) but NOT smplx (:397-399)
         self.joint_range = {
             n: np.stack([-np.pi * np.ones(3), np.pi * np.ones(3)], axis=1)
             for n in self.joint_names
         }
-        for n in ["L_Elbow", "R_Elbow", "L_Shoulder", "R_Shoulder"]:
+        wide = ["L_Elbow", "R_Elbow"]
+        if model_type != "smplx":
+            wide += ["L_Shoulder", "R_Shoulder"]
+        for n in wide:
             if n in self.joint_range:
                 self.joint_range[n] = self.joint_range[n] * 4
 
@@ -120,10 +134,20 @@ class SMPLParser:
 
     # ------------------------------------------------------------------
     def get_joints_verts(self, pose, betas=None, trans=None):
-        """pose (B, J*3) axis angle; betas (B, nb). Returns (verts, joints)."""
+        """pose (B, J*3) axis angle; betas (B, nb). Returns (verts, joints).
+
+        smplx also accepts the 156-dim SMPLH-layout pose (reference
+        get_joints_verts, smpl_parser.py:410-435): jaw/eye joints get zero
+        rotations."""
         pose = jnp.asarray(pose, jnp.float64).reshape(
             -1, _NUM_POSE[self.model_type] if self.model_type == "smpl" else pose.shape[-1]
         )
+        if self.model_type == "smplx" and pose.shape[-1] == 156:
+            B0 = pose.shape[0]
+            pose = jnp.concatenate(
+                [pose[:, :66], jnp.zeros((B0, 9), pose.dtype), pose[:, 66:]],
+                axis=-1,
+            )
         B = pose.shape[0]
         nb = self.shapedirs.shape[-1]
         if betas is None:
@@ -148,17 +172,27 @@ class SMPLParser:
             zero_pose = jnp.zeros((1, J * 3), jnp.float64)
         verts, joints = self.get_joints_verts(zero_pose, betas=betas)
         verts = np.asarray(verts[0])
-        jts = np.asarray(joints[0])
+        jts_full = np.asarray(joints[0])
+        # exposed skeleton = parents_to_use subset (full tree for
+        # smpl/smplh/mano; drops jaw/eyes for smplx). Dropped joints are
+        # leaves, so every kept joint's parent is kept.
+        sub = np.asarray(self.parents_to_use)
+        inv = {int(s): i for i, s in enumerate(sub)}
+        jts = jts_full[sub]
         joint_offsets = {
-            self.joint_names[c]: (jts[c] - jts[p]) if c > 0 else jts[c]
-            for c, p in enumerate(self.parents)
+            self.joint_names[i]: (
+                jts_full[s] - jts_full[self.parents[s]] if s > 0 else jts_full[s]
+            )
+            for i, s in enumerate(sub.tolist())
         }
         parents_dict = {
-            self.joint_names[i]: self.joint_names[self.parents[i]]
-            for i in range(J)
+            self.joint_names[i]: (
+                self.joint_names[inv[self.parents[s]]] if s > 0 else None
+            )
+            for i, s in enumerate(sub.tolist())
         }
-        parents_dict[self.joint_names[0]] = None
+        skin_weights = np.asarray(self.lbs_weights)[:, sub]
         return (
-            verts, jts, np.asarray(self.lbs_weights), self.joint_names,
+            verts, jts, skin_weights, self.joint_names,
             joint_offsets, parents_dict, ["z", "y", "x"], self.joint_range,
         )

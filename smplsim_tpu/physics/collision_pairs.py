@@ -140,6 +140,155 @@ def _box_sdf(p_local, half):
     return dist, n
 
 
+def capsule_box_contacts(lp, lq, half, r, margin):
+    """MuJoCo-exact capsule-box narrowphase (box frame). Two contact slots.
+
+    Semantics reverse-engineered from mujoco 3.10 (tools/probe_capsulebox.py):
+      * PRIMARY contact: the sphere of radius r at the global minimizer of
+        the box SDF along the segment. The minimizer is found in closed
+        form: the SDF restricted to the segment is piecewise
+        quadratic-root/linear between the parameters where a coordinate
+        crosses +-half, so the global minimum is at an interval vertex, a
+        pairwise crossing (interior), a breakpoint, or an endpoint — a
+        fixed candidate set evaluated exactly (the r1 golden-section search
+        had ~1e-7 position noise, which the stiff contact aref amplified to
+        ~1e-3 qacc errors vs MuJoCo).
+      * SECONDARY contact (capsule lying along a face): at segment
+        parameter t2 = eta * (t_exit (1 + s^2) - w_c s) measured from the
+        capsule center, where t_exit is the 2-D exit of the center's
+        face-projection ray through the face rectangle on the ascending
+        side, s = |axis . face normal|, w_c = center height above the face
+        (machine-exact fit across r/halflen/box-size/tilt sweeps; see
+        tools/probe_capsulebox.py). Emitted iff its own dist < margin —
+        matching the observed disappearance of the second contact as tilt
+        grows, with no explicit angle threshold.
+
+    Inputs: lp, lq (..., 3) segment endpoints in the box frame; half
+    (..., 3); r, margin (...). Returns dist (..., 2), pos (..., 2, 3),
+    normal (..., 2, 3) (from the capsule toward the box, box frame).
+    """
+    dtype = lp.dtype
+    d = lq - lp
+    seg_len2 = jnp.sum(d * d, axis=-1)
+
+    # ---- candidate parameters: breakpoints where a coordinate crosses
+    # +-half, per-interval quadratic vertices, interior pairwise crossings
+    safe_d = jnp.where(jnp.abs(d) > 1e-12, d, 1.0)
+    t_hi = jnp.where(jnp.abs(d) > 1e-12, (half - lp) / safe_d, -1.0)
+    t_lo = jnp.where(jnp.abs(d) > 1e-12, (-half - lp) / safe_d, -1.0)
+    brk = jnp.concatenate([t_lo, t_hi], axis=-1)             # (...,6)
+    brk = jnp.clip(brk, 0.0, 1.0)
+    zero = jnp.zeros_like(brk[..., :1])
+    ts = jnp.sort(
+        jnp.concatenate([zero, zero + 1.0, brk], axis=-1), axis=-1
+    )                                                        # (...,8)
+    ta, tb = ts[..., :-1], ts[..., 1:]                       # (...,7)
+    tm = 0.5 * (ta + tb)
+
+    # sign/outside pattern per interval at its midpoint
+    x_m = lp[..., None, :] + tm[..., :, None] * d[..., None, :]   # (...,7,3)
+    sgn = jnp.where(x_m >= 0, 1.0, -1.0)
+    out = jnp.abs(x_m) > half[..., None, :]
+
+    # exterior quadratic vertex: minimize sum_out (lp + t d - sgn*half)^2
+    e = lp[..., None, :] - sgn * half[..., None, :]               # (...,7,3)
+    A2 = jnp.sum(jnp.where(out, d[..., None, :] ** 2, 0.0), axis=-1)
+    B2 = jnp.sum(jnp.where(out, d[..., None, :] * e, 0.0), axis=-1)
+    t_vert = jnp.where(A2 > 1e-18, -B2 / jnp.maximum(A2, 1e-18), tm)
+    t_vert = jnp.clip(t_vert, ta, tb)                             # (...,7)
+
+    # interior pairwise crossings of f_i(t) = sgn_i(lp_i + t d_i) - h_i
+    # f_i = g_i + t k_i with g = sgn*lp - half, k = sgn*d
+    g = sgn * lp[..., None, :] - half[..., None, :]
+    k = sgn * d[..., None, :]
+    pairs = ((0, 1), (0, 2), (1, 2))
+    t_cross = []
+    for i, j in pairs:
+        dk = k[..., i] - k[..., j]
+        tc = jnp.where(
+            jnp.abs(dk) > 1e-14,
+            (g[..., j] - g[..., i]) / jnp.where(jnp.abs(dk) > 1e-14, dk, 1.0),
+            tm,
+        )
+        t_cross.append(jnp.clip(tc, ta, tb))
+    t_cross = jnp.stack(t_cross, axis=-1).reshape(*ta.shape[:-1], -1)
+
+    cand = jnp.concatenate([ts, t_vert, t_cross], axis=-1)        # (...,8+7+21)
+
+    def sdf_at(t):
+        pt = lp[..., None, :] + t[..., :, None] * d[..., None, :]
+        dist, n = _box_sdf(pt, half[..., None, :])
+        return dist, n, pt
+
+    dist_c, _, _ = sdf_at(cand)
+    best = jnp.argmin(dist_c, axis=-1)
+    t1 = jnp.take_along_axis(cand, best[..., None], axis=-1)[..., 0]
+    d1s, n1, p1 = sdf_at(t1[..., None])
+    d1s, n1, p1 = d1s[..., 0], n1[..., 0, :], p1[..., 0, :]
+    dist1 = d1s - r
+    nrm1 = -n1                       # from capsule toward box
+    pos1 = p1 + (r + 0.5 * dist1)[..., None] * nrm1
+
+    # ---- secondary (parallel-to-face) contact
+    axis = d / jnp.sqrt(jnp.maximum(seg_len2, 1e-24))[..., None]
+    hl = 0.5 * jnp.sqrt(jnp.maximum(seg_len2, 1e-24))
+    center = 0.5 * (lp + lq)
+    kface = jnp.argmax(jnp.abs(n1), axis=-1)                      # face axis
+    fsgn = jnp.sign(
+        jnp.take_along_axis(n1, kface[..., None], axis=-1)[..., 0]
+    )
+    fsgn = jnp.where(fsgn == 0, 1.0, fsgn)
+    nhat = fsgn[..., None] * jax.nn.one_hot(kface, 3, dtype=dtype)
+    s_ax = jnp.sum(axis * nhat, axis=-1)
+    eta = jnp.where(s_ax >= 0, 1.0, -1.0).astype(dtype)           # ascending dir
+    s = jnp.abs(s_ax)
+    u2d = axis - s_ax[..., None] * nhat                           # in-face dir
+    c2d = jnp.sqrt(jnp.maximum(jnp.sum(u2d * u2d, axis=-1), 1e-24))
+    dir2d = eta[..., None] * u2d / c2d[..., None]
+    h_k = jnp.sum(half * jnp.abs(nhat), axis=-1)
+    w_c = jnp.sum(center * nhat, axis=-1) - h_k
+    # 2-D ray-rectangle exit from the center's face projection
+    p2 = center - jnp.sum(center * nhat, axis=-1)[..., None] * nhat
+    face_mask = 1.0 - jnp.abs(nhat)
+    safe_dir = jnp.where(jnp.abs(dir2d) > 1e-12, dir2d, 1.0)
+    lpos = jnp.where(
+        (jnp.abs(dir2d) > 1e-12) & (face_mask > 0.5),
+        (jnp.sign(dir2d) * half - p2) / safe_dir,
+        jnp.inf,
+    )
+    L_exit = jnp.min(lpos, axis=-1)                               # 2-D arclen
+    L_exit = jnp.maximum(L_exit, 0.0)
+    t_exit = L_exit / jnp.maximum(c2d, 1e-12)
+    t2 = eta * (t_exit * (1.0 + s * s) - w_c * s)
+    t2 = jnp.clip(t2, -hl, hl)
+    P2 = center + t2[..., None] * axis
+    w2 = jnp.sum(P2 * nhat, axis=-1) - h_k
+    dist2 = w2 - r
+    nrm2 = -nhat
+    pos2 = P2 + (r + 0.5 * dist2)[..., None] * nrm2
+    # secondary invalid when degenerate (zero-length segment = sphere,
+    # axis along the face normal), the exit is unbounded, or the primary
+    # is an edge/corner contact (probed: MuJoCo emits the lying-pose
+    # second contact only when the primary is face-dominated; edge-lean
+    # configs get a single contact). Known approximation: a rare deep
+    # edge-contact branch in MuJoCo duplicates the primary instead.
+    n1_dom = jnp.max(jnp.abs(n1), axis=-1) / jnp.sqrt(
+        jnp.maximum(jnp.sum(n1 * n1, axis=-1), 1e-24)
+    )
+    bad2 = (
+        (c2d < 1e-9)
+        | ~jnp.isfinite(L_exit)
+        | (seg_len2 < 1e-20)
+        | (n1_dom < 0.9)
+    )
+    dist2 = jnp.where(bad2, jnp.full_like(dist2, 1e9), dist2)
+
+    dist = jnp.stack([dist1, dist2], axis=-1)
+    pos = jnp.stack([pos1, pos2], axis=-2)
+    normal = jnp.stack([nrm1, nrm2], axis=-2)
+    return dist, pos, normal
+
+
 _BB_SLOTS = 24  # 4 + 4 support-face corners + 16 edge crossings
 
 
@@ -421,7 +570,7 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         mus.append(mu)
         margins.append(margin)
 
-    # ---- capsule/sphere vs box: SDF minimized along the segment ----
+    # ---- capsule/sphere vs box: exact narrowphase, 2 slots per pair ----
     if len(pl["cb"]):
         g1 = jnp.asarray(pl["cb"][:, 0])  # round geom
         g2 = jnp.asarray(pl["cb"][:, 1])  # box
@@ -431,55 +580,18 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         # to box frame
         to_local = lambda x: jnp.einsum("...ji,...j->...i", bR, x - bpos)
         lp, lq = to_local(p1), to_local(q1)
-
-        def sdf_at(t):
-            pt = lp + t[..., None] * (lq - lp)
-            d, _ = _box_sdf(pt, half)
-            return d
-
-        # golden-section search on the (convex) SDF along the segment.
-        # Proper probe reuse: ONE new SDF evaluation per iteration (the
-        # surviving interior probe becomes the other probe of the shrunk
-        # bracket) — half the narrowphase cost of the naive two-probe loop,
-        # identical bracket sequence.
-        lo = jnp.zeros(lp.shape[0], dtype)
-        hi = jnp.ones(lp.shape[0], dtype)
-        m1 = lo + 0.382 * (hi - lo)
-        m2 = lo + 0.618 * (hi - lo)
-        f1, f2 = sdf_at(m1), sdf_at(m2)
-        for _ in range(24):
-            keep_lo = f1 < f2
-            lo = jnp.where(keep_lo, lo, m1)
-            hi = jnp.where(keep_lo, m2, hi)
-            new_pt = jnp.where(
-                keep_lo, lo + 0.382 * (hi - lo), lo + 0.618 * (hi - lo)
-            )
-            f_new = sdf_at(new_pt)
-            m1, f1, m2, f2 = (
-                jnp.where(keep_lo, new_pt, m2),
-                jnp.where(keep_lo, f_new, f2),
-                jnp.where(keep_lo, m1, new_pt),
-                jnp.where(keep_lo, f1, f_new),
-            )
-        t_star = 0.5 * (lo + hi)
-        pt_local = lp + t_star[..., None] * (lq - lp)
-        d, n_local = _box_sdf(pt_local, half)
-        dist = d - r1
-        n_world = jnp.einsum("...ij,...j->...i", bR, n_local)  # box outward
-        # normal from geom1 (round) toward geom2 (box) = -outward
-        n = -n_world
-        surf1 = p1 + t_star[..., None] * (q1 - p1) + r1[..., None] * n
-        # box surface point along outward normal
-        surf2 = p1 + t_star[..., None] * (q1 - p1) + (r1 + dist)[..., None] * n
-        pos = 0.5 * (surf1 + surf2)
         mu, margin = _combine(model, g1, g2)
-        dists.append(dist)
-        poss.append(pos)
-        normals.append(n)
-        b1s.append(bb1)
-        b2s.append(bb2)
-        mus.append(mu)
-        margins.append(margin)
+        d_cb, p_cb, n_cb = capsule_box_contacts(lp, lq, half, r1, margin)
+        # back to world
+        p_w = bpos[..., None, :] + jnp.einsum("...ij,...kj->...ki", bR, p_cb)
+        n_w = jnp.einsum("...ij,...kj->...ki", bR, n_cb)
+        dists.append(d_cb.reshape(-1))
+        poss.append(p_w.reshape(-1, 3))
+        normals.append(n_w.reshape(-1, 3))
+        b1s.append(jnp.repeat(bb1, 2))
+        b2s.append(jnp.repeat(bb2, 2))
+        mus.append(jnp.repeat(mu, 2))
+        margins.append(jnp.repeat(margin, 2))
 
     # ---- box vs box: SAT manifold (mjc_BoxBox semantics, reverse-
     # engineered empirically — tools/analyze_boxbox.py / axis_rule_boxbox.py:

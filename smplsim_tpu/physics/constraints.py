@@ -46,15 +46,17 @@ def top_k_pad(score: jax.Array, k: int):
 def make_frame(n: jax.Array):
     """Tangent frame for a contact normal, mju_makeFrame convention.
 
-    seed = z-hat unless the normal is nearly vertical (|n_z| > 0.9), then
-    y-hat; t1 = Gram-Schmidt(seed), t2 = n x t1.
+    seed = y-hat while |n_y| < 0.5, else z-hat (probed against sphere-sphere
+    contact frames across normals; the threshold is exactly 0.5);
+    t1 = Gram-Schmidt(seed), t2 = n x t1. The friction-pyramid facets follow
+    t1/t2, so matching MuJoCo's seed choice is required for force parity.
     """
     dtype = n.dtype
-    vertical = jnp.abs(n[..., 2]) > 0.9
+    use_z = jnp.abs(n[..., 1]) >= 0.5
     seed = jnp.where(
-        vertical[..., None],
-        jnp.asarray([0.0, 1.0, 0.0], dtype),
+        use_z[..., None],
         jnp.asarray([0.0, 0.0, 1.0], dtype),
+        jnp.asarray([0.0, 1.0, 0.0], dtype),
     )
     t1 = seed - jnp.sum(seed * n, -1, keepdims=True) * n
     t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
@@ -175,7 +177,12 @@ def floor_contacts(model: RobotModel, kin: Kin):
     con_pos = jnp.stack(
         [p_world[:, 0], p_world[:, 1], p_world[:, 2] - radius - 0.5 * dist], axis=1
     )
-    return dist, con_pos, geom_idx_j, active, incmargin
+    # world capsule axis (geom-frame z) per candidate — mjc_PlaneCapsule
+    # builds the tangent frame from its plane projection
+    axis_w = jnp.einsum(
+        "pij,pj->pi", R_b, T.quat_rotate(g_quat, jnp.asarray([0.0, 0.0, 1.0], dtype))
+    )
+    return dist, con_pos, geom_idx_j, active, incmargin, is_cap, axis_w
 
 
 def make_efc(
@@ -213,7 +220,8 @@ def make_efc(
     l_J = jax.nn.one_hot(l_dof, nv, dtype=dtype) * l_sign[:, None]
 
     # ---------------- floor contacts ----------------
-    dist, con_pos, cand_geom, cand_active, incmargin = floor_contacts(model, kin)
+    (dist, con_pos, cand_geom, cand_active, incmargin, cand_cap,
+     cand_axis) = floor_contacts(model, kin)
     geom_floor_contact = jnp.zeros(model.ngeom, dtype=bool).at[cand_geom].max(
         cand_active
     )
@@ -225,17 +233,37 @@ def make_efc(
     c_geom = cand_geom[csel]
     c_active = cand_active[csel] & (cval > -_BIG / 2)
     c_margin = incmargin[csel]
+    c_cap = cand_cap[csel]
+    c_axis = cand_axis[csel]
     c_body = jnp.asarray(np.asarray(model.geom_body, np.int32))[c_geom]
 
-    # constraint jacobians: rows n +- mu t for t in {t1, t2};
-    # plane frame: n=(0,0,1), t1=(0,1,0), t2=(-1,0,0) (mju_makeFrame on +z)
+    # constraint jacobians: rows n +- mu t for t in {t1, t2}. The tangent
+    # frame on the z=0 plane is GEOM-DEPENDENT in MuJoCo: plane-box and
+    # plane-sphere use mju_makeFrame(+z) -> t1=(0,1,0), t2=(-1,0,0), while
+    # mjc_PlaneCapsule aligns t1 with the capsule axis projected onto the
+    # plane (verified against mjData.efc_J rows; the friction-pyramid
+    # facets rotate with the capsule, so forces differ otherwise)
     n = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
-    t1 = jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)
-    t2 = jnp.asarray([-1.0, 0.0, 0.0], dtype=dtype)
+    capf = (c_cap > 0.5)[:, None]
+    proj = c_axis.at[:, 2].set(0.0)
+    pnorm = jnp.sqrt(jnp.sum(proj * proj, axis=-1, keepdims=True))
+    t1_cap = jnp.where(
+        pnorm > 1e-8,
+        proj / jnp.maximum(pnorm, 1e-8),
+        jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)[None, :],
+    )
+    t1 = jnp.where(
+        capf, t1_cap, jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)[None, :]
+    )  # (C,3)
+    t2 = jnp.where(
+        capf,
+        jnp.cross(jnp.broadcast_to(n, t1_cap.shape), t1_cap),
+        jnp.asarray([-1.0, 0.0, 0.0], dtype=dtype)[None, :],
+    )
     mu = jnp.maximum(model.geom_friction[c_geom, 0], model.floor_friction[0])
     dirs = (
         n[None, None, :]
-        + jnp.stack([t1, -t1, t2, -t2])[None, :, :] * mu[:, None, None]
+        + jnp.stack([t1, -t1, t2, -t2], axis=1) * mu[:, None, None]
     )  # (C,4,3)
 
     # J[c,k,v] = dir . (S_ang[v] x pos[c] + S_lin[v]) * mask[c,v]

@@ -24,7 +24,7 @@ from smplsim_tpu.physics.constraints import EFC
 from smplsim_tpu.physics.dynamics import Smooth
 from smplsim_tpu.ops.qp_kernel import newton_qp
 
-NEWTON_ITERS = 12
+NEWTON_ITERS = 40
 
 # compact active system size: rows beyond the K deepest-active are dropped
 # (the humanoid rarely exceeds ~40 simultaneously active rows; all parity

@@ -72,12 +72,41 @@ def _smplh_skeleton():
     return jpos, names, parents
 
 
+def _smplx_skeleton():
+    """55-joint SMPLX skeleton: SMPLH body + jaw/eye leaves after the neck
+    block (SMPLX joint order: 0-21 body, 22 Jaw, 23-24 eyes, 25-54 hands)."""
+    jpos52, names52, parents52 = _smplh_skeleton()
+    head = names52.index("Head")
+    head_pos = jpos52[head]
+    names = (
+        names52[:22]
+        + ["Jaw", "L_Eye", "R_Eye"]
+        + names52[22:]
+    )
+    jpos = np.concatenate([
+        jpos52[:22],
+        head_pos + np.array([[0.0, -0.02, 0.05],
+                             [0.03, -0.03, 0.08],
+                             [-0.03, -0.03, 0.08]]),
+        jpos52[22:],
+    ])
+    remap = lambda p: p if p < 22 else p + 3
+    parents = (
+        list(parents52[:22])
+        + [head, head, head]
+        + [remap(p) for p in parents52[22:]]
+    )
+    return jpos, names, parents
+
+
 def make_synthetic_body(rng, model_type: str = "smpl", n_extra: int = 40):
     """SMPL-pkl-shaped data dict for SMPLParser(data=...)."""
     if model_type == "smpl":
         jpos, names, parents = _base_skeleton()
     elif model_type == "smplh":
         jpos, names, parents = _smplh_skeleton()
+    elif model_type == "smplx":
+        jpos, names, parents = _smplx_skeleton()
     else:
         raise ValueError(model_type)
     J = len(names)

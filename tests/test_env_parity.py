@@ -104,6 +104,46 @@ def test_obs_formula_parity(model64, ref):
         np.testing.assert_allclose(obs_ours, obs_ref, atol=1e-8)
 
 
+def test_obs_v2_sensor_parity(model64, ref):
+    """self_obs_v=2 on the MuJoCo path: the reference reads body velocities
+    from framelinvel/frameangvel sensordata (humanoid_env.py:539-544,
+    637-688); ours derives them analytically (kinematics.body_velocities).
+    Same arbitrary (qpos, qvel) -> same v2 observation vector."""
+    cfg = ref.default_cfg(task="HumanoidSpeed", self_obs_v=2)
+    cfg.robot.create_vel_sensors = True
+    from smpl_sim.envs.tasks.humanoid_speed import HumanoidSpeed as RefSpeed
+
+    env_ref = RefSpeed(cfg)
+    ref.CURRENT_DATA[0] = env_ref.mj_data
+    ours = HumanoidSpeed(model64, SpeedConfig(self_obs_v=2))
+    assert ours.self_obs_size == env_ref.get_self_obs_size()
+
+    import mujoco
+    rng = np.random.RandomState(9)
+    for _ in range(3):
+        qpos = np.zeros(model64.nq)
+        qpos[0:3] = rng.uniform(-1, 1, 3)
+        qpos[2] += 1.5
+        q = rng.normal(size=4)
+        qpos[3:7] = q / np.linalg.norm(q)
+        qpos[7:] = rng.uniform(-0.5, 0.5, model64.nq - 7)
+        qvel = rng.uniform(-1, 1, model64.nv)
+
+        env_ref.mj_data.qpos[:] = qpos
+        env_ref.mj_data.qvel[:] = qvel
+        mujoco.mj_forward(env_ref.mj_model, env_ref.mj_data)
+        obs_ref = env_ref.compute_proprioception()
+
+        phys = PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+        from smplsim_tpu.physics import kinematics
+
+        kin = kinematics.fk(model64, phys.qpos)
+        st = ours.reset(jax.random.PRNGKey(0))
+        obs_ours = np.asarray(ours.compute_obs(st.task, phys, kin))
+        prop_ours = obs_ours[: ours.self_obs_size]
+        np.testing.assert_allclose(prop_ours, obs_ref, atol=1e-8)
+
+
 def test_reach_obs_and_reward_formula(model64, ref):
     env_ref = make_ref_env(ref, "HumanoidReach")
     ours = HumanoidReach(model64)

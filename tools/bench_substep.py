@@ -26,8 +26,13 @@ ITERS = int(os.environ.get("BENCH_ITERS", 30))
 results = {}
 
 
+SECTIONS = os.environ.get("BENCH_SECTIONS", "").split(",") if os.environ.get("BENCH_SECTIONS") else None
+
+
 def timeit(name, make_scan, n=3):
     """make_scan() -> jitted fn returning a scalar; time ITERS-iteration scans."""
+    if SECTIONS is not None and not any(sec and sec in name for sec in SECTIONS):
+        return None
     fn = make_scan()
     out = fn()
     float(np.asarray(out))  # compile + sync
@@ -117,6 +122,36 @@ def main():
             )
         )(kin),
         qpos, lambda sc: sc.dist.sum()))
+
+    # ---- make_efc ablations: cost attribution by knocking out pieces
+    import contextlib
+
+    @contextlib.contextmanager
+    def patched(obj, name, repl):
+        orig = getattr(obj, name)
+        setattr(obj, name, repl)
+        try:
+            yield
+        finally:
+            setattr(obj, name, orig)
+
+    def fake_self_contacts(model_, kin_):
+        dtype = kin_.xpos.dtype
+        Z = collision_pairs.MAX_SELF
+        return collision_pairs.SelfContacts(
+            dist=jnp.full(Z, 1e9, dtype), pos=jnp.zeros((Z, 3), dtype),
+            normal=jnp.zeros((Z, 3), dtype).at[:, 2].set(1.0),
+            body1=jnp.zeros(Z, jnp.int32), body2=jnp.zeros(Z, jnp.int32),
+            friction=jnp.ones(Z, dtype), margin=jnp.zeros(Z, dtype),
+            active=jnp.zeros(Z, bool),
+        )
+
+    with patched(constraints, "self_contacts", fake_self_contacts):
+        timeit("  make_efc w/o self (ablation)", lambda: serialized(
+            lambda x, eps: jax.vmap(
+                lambda k, q, v: constraints.make_efc(model, k, q, v)
+            )(kin, x + eps, qvel),
+            qpos, lambda e: e.J.sum()))
 
     # ---- solver pieces
     def e_perturb(e, eps):
