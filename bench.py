@@ -13,8 +13,14 @@ import json
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from smplsim_tpu.envs import HumanoidSpeed
 from smplsim_tpu.models import registry

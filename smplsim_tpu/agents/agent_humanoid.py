@@ -130,13 +130,17 @@ class AgentHumanoid:
 
     # ---------------- eval ----------------
     def run_policy(self, n_episodes: int = 4, horizon: int = 300,
-                   stochastic: bool = False, record_path: str | None = None):
+                   stochastic: bool = False, record_path: str | None = None,
+                   render_path: str | None = None):
         """Deterministic (mean-action) eval rollouts; returns metrics.
 
         record_path: optionally dump the rollout state trajectories
         (qpos/qvel/reward/done per step) to a joblib pkl — the reference's
         record-states-on-keypress feature (base_env.py:181-201), here as an
-        explicit eval artifact."""
+        explicit eval artifact.
+        render_path: optionally render episode 0's qpos trajectory to an
+        animated GIF (geom-level matplotlib; smplsim_tpu/render.py) — the
+        reference's mp4 eval dump (base_env.py:148-179), GL-free."""
         from smplsim_tpu.learning.nets import sample_action
         from smplsim_tpu.learning.running_norm import normalize
 
@@ -183,6 +187,13 @@ class AgentHumanoid:
 
             joblib.dump(
                 {k: np.asarray(v) for k, v in traj.items()}, record_path
+            )
+        if render_path:
+            from smplsim_tpu.render import render_rollout
+
+            render_rollout(
+                self.env.model, np.asarray(traj["qpos"][0]), render_path,
+                every=2,
             )
         out = {
             "eval_return_mean": float(jnp.mean(rets)),

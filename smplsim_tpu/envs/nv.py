@@ -237,6 +237,13 @@ class NvConfig(EnvConfig):
     freeze_toe: bool = False
     remove_neck: bool = False
     contact_bodies: Tuple[str, ...] = ("R_Ankle", "L_Ankle", "R_Toe", "L_Toe")
+    # impulse perturbations: every perturb_interval control steps, a random
+    # body receives a random horizontal+up force of magnitude up to
+    # perturb_force for one control step — the physical fault-injection role
+    # of the reference's projectile assets (nv/humanoid.py:80-190), without
+    # simulating the projectiles themselves
+    perturb_interval: int = 0        # 0 disables
+    perturb_force: float = 200.0     # Newtons, peak magnitude
 
 
 class NvHumanoid(HumanoidEnv):
@@ -367,6 +374,24 @@ class NvHumanoid(HumanoidEnv):
             action = jnp.clip(action, -1.0, 1.0)
         k_task, k_next = jax.random.split(state.rng)
 
+        ext_force = None
+        if cfg_nv.perturb_interval > 0:
+            k_body, k_dir = jax.random.split(k_task)
+            active = (state.cur_t % cfg_nv.perturb_interval) == 0
+            body = jax.random.randint(k_body, (), 0, model.nbody)
+            d = jax.random.normal(k_dir, (3,), state.phys.qpos.dtype)
+            d = d.at[2].set(jnp.abs(d[2]))  # upward bias like thrown objects
+            d = d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
+            mag = jax.random.uniform(
+                k_dir, (), state.phys.qpos.dtype, 0.0, cfg_nv.perturb_force
+            )
+            ext_force = jnp.where(
+                active,
+                jax.nn.one_hot(body, model.nbody,
+                               dtype=state.phys.qpos.dtype)[:, None] * (mag * d),
+                jnp.zeros((model.nbody, 3), state.phys.qpos.dtype),
+            )
+
         phys, info_last, power, cache = engine.control_step(
             model, state.phys, action,
             control_freq_inv=cfg.control_frequency_inv,
@@ -375,6 +400,7 @@ class NvHumanoid(HumanoidEnv):
             cache=state.pd_cache,
             pd_target_mask=self.pd_target_mask(),
             reset_ref=self._reset_ref if model is self.model else None,
+            ext_force=ext_force,
         )
 
         cur_t = state.cur_t + 1

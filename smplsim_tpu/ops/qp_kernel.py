@@ -109,8 +109,8 @@ def newton_qp_reference(A, b, active, f0=None, iters: int = NEWTON_ITERS):
 # ---------------------------------------------------------------------------
 # the kernel: systems laid out (K, K, BB) / (K, BB), batch in lanes
 # ---------------------------------------------------------------------------
-def _qp_kernel(A_ref, b_ref, act_ref, f0_ref, f_ref, L_ref, y_ref, done_ref,
-               *, K: int, iters: int, tol: float):
+def _qp_kernel(iters_ref, A_ref, b_ref, act_ref, f0_ref, f_ref, L_ref, y_ref,
+               done_ref, *, K: int, tol: float):
     dtype = A_ref.dtype
     A = A_ref[:]          # (K, K, BB)
     b = b_ref[:]          # (K, BB)
@@ -230,12 +230,16 @@ def _qp_kernel(A_ref, b_ref, act_ref, f0_ref, f_ref, L_ref, y_ref, done_ref,
             newton_iter()
         return 0
 
-    jax.lax.fori_loop(0, iters, body, 0)
+    # iteration count is a RUNTIME scalar: a static count would specialize
+    # the Mosaic kernel per chunk size (~200 s compile each on the axon TPU)
+    jax.lax.fori_loop(0, iters_ref[0], body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _newton_qp_pallas(A, b, active, f0, iters: int = NEWTON_ITERS):
-    """Batched solve: A (B,K,K), b (B,K), active (B,K), f0 (B,K) -> f (B,K)."""
+@jax.jit
+def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
+    """Batched solve: A (B,K,K), b (B,K), active (B,K), f0 (B,K) -> f (B,K).
+    `iters` is a runtime scalar (traced), so all chunk sizes share ONE
+    compiled Mosaic kernel."""
     Bn, K = b.shape
     dtype = A.dtype
     pad = (-Bn) % BB
@@ -253,13 +257,15 @@ def _newton_qp_pallas(A, b, active, f0, iters: int = NEWTON_ITERS):
     bt = jnp.transpose(b, (1, 0))             # (K,Bp)
     at = jnp.transpose(active.astype(dtype), (1, 0))
     ft = jnp.transpose(f0, (1, 0))
+    it = jnp.asarray(iters, jnp.int32).reshape(1)
 
     grid = (Bp // BB,)
     f_t = pl.pallas_call(
-        functools.partial(_qp_kernel, K=K, iters=iters, tol=_tol_for(dtype)),
+        functools.partial(_qp_kernel, K=K, tol=_tol_for(dtype)),
         out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((K, K, BB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -273,11 +279,12 @@ def _newton_qp_pallas(A, b, active, f0, iters: int = NEWTON_ITERS):
             pltpu.VMEM((K, BB), dtype),
             pltpu.SMEM((1,), jnp.int32),
         ],
-    )(At, bt, at, ft)
+    )(it, At, bt, at, ft)
     return jnp.transpose(f_t, (1, 0))[:Bn]
 
 
-_CHUNK = 5  # Newton iterations per kernel invocation in the chunked solve
+_CHUNK0 = 12  # first kernel call: the overwhelmingly common convergence depth
+_CHUNK = 8    # straggler chunks afterwards, up to the iteration cap
 
 
 def _newton_qp_chunked(A, b, active, f0, iters: int = NEWTON_ITERS):
@@ -315,9 +322,9 @@ def _newton_qp_chunked(A, b, active, f0, iters: int = NEWTON_ITERS):
         done = jnp.all(kkt_ok(f_new) | ~moved)
         return i + _CHUNK, f_new, done
 
-    f1 = _newton_qp_pallas(A, b, active, f0, iters=_CHUNK)
+    f1 = _newton_qp_pallas(A, b, active, f0, iters=_CHUNK0)
     done0 = jnp.all(kkt_ok(f1))
-    _, f, _ = jax.lax.while_loop(cond, body, (jnp.int32(_CHUNK), f1, done0))
+    _, f, _ = jax.lax.while_loop(cond, body, (jnp.int32(_CHUNK0), f1, done0))
     return f
 
 

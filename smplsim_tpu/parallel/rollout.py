@@ -76,7 +76,8 @@ def train_state_specs(ts, axis: str = "data"):
     return specs.replace(env_states=env_specs)
 
 
-def sharded_ppo_step(ppo, mesh: Mesh, ts, axis: str = "data"):
+def sharded_ppo_step(ppo, mesh: Mesh, ts, axis: str = "data",
+                     place: bool = True):
     """Jitted SPMD PPO train step over `mesh`.
 
     Per-device rollout rngs fold in the shard index; the carried rng stays
@@ -97,4 +98,7 @@ def sharded_ppo_step(ppo, mesh: Mesh, ts, axis: str = "data"):
         train_step, mesh=mesh, in_specs=(specs,), out_specs=(specs, P()),
         check_vma=False,
     )
-    return jax.jit(f), place_train_state(ts, mesh, axis)
+    # place=False: ts is already a global (multi-process) array tree — e.g.
+    # produced by jax.jit(init, out_shardings=...); device_put of host-local
+    # arrays onto a cross-process sharding is unsupported
+    return jax.jit(f), (place_train_state(ts, mesh, axis) if place else ts)

@@ -28,6 +28,8 @@ from smplsim_tpu.models.spec import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, RobotMo
 from smplsim_tpu.physics.kinematics import Kin
 
 MAX_SELF = 12
+CB_KEEP = 48   # capsule-box pairs surviving the conservative broadphase cull
+BB_KEEP = 16   # box-box pairs surviving the cull
 
 
 class SelfContacts(NamedTuple):
@@ -287,6 +289,51 @@ def capsule_box_contacts(lp, lq, half, r, margin):
     pos = jnp.stack([pos1, pos2], axis=-2)
     normal = jnp.stack([nrm1, nrm2], axis=-2)
     return dist, pos, normal
+
+
+@jax.custom_batching.custom_vmap
+def _capsule_box_op(lp, lq, half, r):
+    """Per-env capsule-box narrowphase over P pairs. Under the engine's env
+    vmap the batched rule reroutes to the lanes-last formulation
+    (physics/capsulebox_lanes.py) — full lane utilization instead of 3-wide
+    minor dims."""
+    return capsule_box_contacts(lp, lq, half, r, None)
+
+
+@_capsule_box_op.def_vmap
+def _capsule_box_vmap(axis_size, in_batched, lp, lq, half, r):
+    from smplsim_tpu.physics import capsulebox_lanes
+
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    lp, lq, half, r = (
+        bc(x, b) for x, b in zip((lp, lq, half, r), in_batched)
+    )
+    B, P = r.shape
+    N = B * P
+    tv = lambda x: jnp.moveaxis(x.reshape((N,) + x.shape[2:]), 0, -1)
+    dd, pp, nn = capsulebox_lanes.capsule_box_lanes(
+        tv(lp), tv(lq), tv(half), r.reshape(N)
+    )
+    dist = jnp.moveaxis(dd, -1, 0).reshape(B, P, 2)
+    pos = jnp.moveaxis(pp, -1, 0).reshape(B, P, 2, 3)
+    nrm = jnp.moveaxis(nn, -1, 0).reshape(B, P, 2, 3)
+    return (dist, pos, nrm), (True, True, True)
+
+
+@jax.custom_jvp
+def capsule_box_op(lp, lq, half, r):
+    return _capsule_box_op(lp, lq, half, r)
+
+
+@capsule_box_op.defjvp
+def _capsule_box_jvp(primals, tangents):
+    # differentiate the reference path (plain ops); iLQR-scale workloads only
+    return jax.jvp(
+        lambda a, b, c, d: capsule_box_contacts(a, b, c, d, None),
+        primals, tangents,
+    )
 
 
 _BB_SLOTS = 24  # 4 + 4 support-face corners + 16 edge crossings
@@ -577,11 +624,33 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         p1, q1, r1, bb1 = _segment(model, kin, g1)
         bpos, bR, bb2 = _geom_world(model, kin, g2)
         half = model.geom_size[g2]
+        # broadphase cull: the narrowphase dominates the substep at batch
+        # scale, and a humanoid has at most a handful of capsule-box pairs
+        # anywhere near contact. Keep the CB_KEEP closest pairs by a
+        # CONSERVATIVE separation bound (center distance minus capsule
+        # half-length+radius minus box bounding radius): pairs beyond the
+        # bound cannot touch, so the cull is exact while #plausible <=
+        # CB_KEEP (same capped-slots semantics as MAX_CONTACTS).
+        if len(pl["cb"]) > CB_KEEP:
+            center = 0.5 * (p1 + q1)
+            seg_half = 0.5 * jnp.linalg.norm(q1 - p1, axis=-1)
+            bound = jnp.linalg.norm(half, axis=-1)
+            d_low = (
+                jnp.linalg.norm(center - bpos, axis=-1)
+                - seg_half - r1 - bound
+            )
+            from smplsim_tpu.physics.constraints import top_k_pad
+
+            _, keep = top_k_pad(-d_low, CB_KEEP)
+            p1, q1, r1, bb1 = p1[keep], q1[keep], r1[keep], bb1[keep]
+            bpos, bR, bb2 = bpos[keep], bR[keep], bb2[keep]
+            half = half[keep]
+            g1, g2 = g1[keep], g2[keep]
         # to box frame
         to_local = lambda x: jnp.einsum("...ji,...j->...i", bR, x - bpos)
         lp, lq = to_local(p1), to_local(q1)
         mu, margin = _combine(model, g1, g2)
-        d_cb, p_cb, n_cb = capsule_box_contacts(lp, lq, half, r1, margin)
+        d_cb, p_cb, n_cb = capsule_box_op(lp, lq, half, r1)
         # back to world
         p_w = bpos[..., None, :] + jnp.einsum("...ij,...kj->...ki", bR, p_cb)
         n_w = jnp.einsum("...ij,...kj->...ki", bR, n_cb)
@@ -602,6 +671,19 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
     if len(pl["bb"]):
         g1 = jnp.asarray(pl["bb"][:, 0])
         g2 = jnp.asarray(pl["bb"][:, 1])
+        if len(pl["bb"]) > BB_KEEP:
+            # conservative bounding-sphere cull (see the cb block above)
+            pos1c, _, _ = _geom_world(model, kin, g1)
+            pos2c, _, _ = _geom_world(model, kin, g2)
+            bound = (
+                jnp.linalg.norm(model.geom_size[g1], axis=-1)
+                + jnp.linalg.norm(model.geom_size[g2], axis=-1)
+            )
+            d_low = jnp.linalg.norm(pos1c - pos2c, axis=-1) - bound
+            from smplsim_tpu.physics.constraints import top_k_pad
+
+            _, keep = top_k_pad(-d_low, BB_KEEP)
+            g1, g2 = g1[keep], g2[keep]
         mu, margin = _combine(model, g1, g2)
         d_bb, p_bb, n_bb, act_bb, bb1, bb2 = _box_box_manifold(
             model, kin, g1, g2, margin

@@ -30,17 +30,30 @@ _BIG = 1e9
 
 
 def top_k_pad(score: jax.Array, k: int):
-    """lax.top_k that tolerates fewer candidates than k (pads with -inf).
+    """Top-k that tolerates fewer candidates than k (pads with -inf).
 
     Returns (values, indices); padded slots point at index 0 with -_BIG score
-    (callers mask on score/active anyway).
+    (callers mask on score/active anyway). For small k over wide candidate
+    arrays this uses k iterations of (argmax, mask) instead of lax.top_k —
+    a full sort of a (B, 1000+) array costs far more on TPU than k
+    max-reductions. Tie-breaking (first index wins) matches lax.top_k.
     """
     n = score.shape[0]
-    if n >= k:
+    if n < k:
+        pad = jnp.full(k - n, -_BIG, score.dtype)
+        v, i = jax.lax.top_k(jnp.concatenate([score, pad]), k)
+        return v, jnp.minimum(i, n - 1)
+    if k > 24 or n <= 2 * k:
         return jax.lax.top_k(score, k)
-    pad = jnp.full(k - n, -_BIG, score.dtype)
-    v, i = jax.lax.top_k(jnp.concatenate([score, pad]), k)
-    return v, jnp.minimum(i, n - 1)
+
+    def pick(carry, _):
+        s = carry
+        i = jnp.argmax(s)
+        v = s[i]
+        return s.at[i].set(-jnp.inf), (v, i.astype(jnp.int32))
+
+    _, (vals, idx) = jax.lax.scan(pick, score, None, length=k)
+    return vals, idx
 
 
 def make_frame(n: jax.Array):

@@ -78,6 +78,27 @@ def passive_forces(model: RobotModel, qvel: jax.Array) -> jax.Array:
     return -model.dof_damping * qvel
 
 
+def external_forces(
+    model: RobotModel, kin: Kin, force: jax.Array, torque: jax.Array | None = None
+) -> jax.Array:
+    """(nv,) generalized forces from per-body external wrenches (mj_xfrc
+    equivalent — the TPU-native impulse/projectile perturbation hook,
+    reference nv/humanoid.py:80-190 throws projectile assets instead).
+
+    force (J,3): world-frame force applied at each body's COM;
+    torque (J,3): optional world-frame torque. Converted to wrenches about
+    the world origin and projected onto each ancestor dof via the same
+    masked-matmul machinery as bias_forces.
+    """
+    dtype = kin.S.dtype
+    masks = _masks(model, dtype)
+    tau = jnp.zeros_like(force) if torque is None else torque
+    # wrench about the origin: [c x f + tau; f]
+    w = jnp.concatenate([jnp.cross(kin.com, force) + tau, force], axis=1)  # (J,6)
+    fC = jnp.einsum("vb,bi->vi", masks["dof_subtree_body"], w)  # (nv,6)
+    return jnp.sum(kin.S * fC, axis=1)
+
+
 def actuator_forces(model: RobotModel, ctrl: jax.Array) -> jax.Array:
     """(nv,) generalized forces from motor actuators (gear * ctrl per hinge)."""
     return jnp.concatenate([jnp.zeros(6, dtype=ctrl.dtype), model.gear * ctrl])

@@ -74,7 +74,8 @@ def step(model: RobotModel, state: PhysicsState, ctrl: jax.Array):
     return PhysicsState(qpos=qpos, qvel=qvel), info
 
 
-def _forward_smooth(model: RobotModel, state: PhysicsState, tau: jax.Array):
+def _forward_smooth(model: RobotModel, state: PhysicsState, tau: jax.Array,
+                    ext_force=None):
     """FK + smooth dynamics under actuation tau. Returns (kin, smooth, efc, M, C)."""
     kin = kinematics.fk(model, state.qpos)
     M = dynamics.mass_matrix(model, kin)
@@ -84,6 +85,8 @@ def _forward_smooth(model: RobotModel, state: PhysicsState, tau: jax.Array):
         + dynamics.passive_forces(model, state.qvel)
         - C
     )
+    if ext_force is not None:
+        qfrc = qfrc + dynamics.external_forces(model, kin, ext_force)
     chol = linalg.cholesky(M)
     qacc_smooth = linalg.cho_solve(chol, qfrc)
     smooth = dynamics.Smooth(M=M, chol=chol, qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
@@ -118,6 +121,7 @@ def control_step(
     cache=None,
     pd_target_mask=None,
     reset_ref=None,
+    ext_force=None,
 ):
     """One control step = control_freq_inv substeps, torque recomputed per
     substep (reference physics_step, humanoid_env.py:439-453).
@@ -134,6 +138,11 @@ def control_step(
     `reset_ref` is reset_reference(model), precomputed; None recomputes it
     inline (constant-folded under jit when `model` is a closure constant,
     recomputed per call when model is traced).
+
+    `ext_force` (nbody, 3): optional world-frame external force applied at
+    each body's COM during every substep of this control step — the
+    impulse-perturbation / projectile fault-injection hook (reference
+    nv/humanoid.py:80-190).
 
     Returns (state', last StepInfo, power, cache').
     """
@@ -165,7 +174,7 @@ def control_step(
             tau = ctrl_mod.stable_pd_torque(
                 model, M_prev, C_prev, st.qpos, st.qvel, target
             )
-            kin, smooth, efc, M, C = _forward_smooth(model, st, tau)
+            kin, smooth, efc, M, C = _forward_smooth(model, st, tau, ext_force)
             sol = solver.solve_constraints(model, smooth, efc, f_w)
             qpos, qvel = integrator.euler_step(
                 model, st.qpos, st.qvel, sol.qacc, model.timestep

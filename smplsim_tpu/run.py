@@ -9,7 +9,15 @@ Overrides use dotted key=value paths into RunConfig (agents/config.py).
 """
 from __future__ import annotations
 
+import os
 import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from smplsim_tpu.agents import AgentHumanoid, RunConfig, parse_cli_overrides
 

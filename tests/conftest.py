@@ -16,9 +16,48 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the parity suite is compile-dominated (deep
+# scans over the physics engine); caching compiled programs across pytest
+# runs cuts repeat wall time several-fold
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 REFERENCE_XML = "/root/reference/smpl_sim/data/assets/mjcf/smpl_humanoid.xml"
+
+# ---------------------------------------------------------------------------
+# slow-test gating: closed-loop trajectory parity tests take minutes each
+# (compile + hundreds of substeps vs real MuJoCo). The default run skips
+# them so `pytest -q` stays fast for iteration; run everything with
+#   pytest --runslow        (or -m slow for only the slow ones)
+# CI/driver runs should use --runslow.
+# ---------------------------------------------------------------------------
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run slow closed-loop parity tests",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long closed-loop parity test (use --runslow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow parity test: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -34,6 +34,7 @@ def default_qpos(model):
     return qpos
 
 
+@pytest.mark.slow
 def test_qacc_along_mujoco_trajectory(setup):
     """Forward dynamics matches mj qacc at every state of a 196-substep drop."""
     model, mj_model = setup
@@ -52,6 +53,7 @@ def test_qacc_along_mujoco_trajectory(setup):
     assert worst < 1e-8, worst
 
 
+@pytest.mark.slow
 def test_closed_loop_drop_trajectory(setup):
     """Closed-loop zero-ctrl drop tracks mj_step to <1e-10 for 196 substeps
     (after which the collapsing humanoid self-collides — not yet modeled)."""

@@ -44,6 +44,7 @@ def reference_spd_torque(model, mj_model, mj_data, target):
     return np.clip(tau, -np.asarray(model.torque_lim), np.asarray(model.torque_lim))
 
 
+@pytest.mark.slow
 def test_stable_pd_closed_loop(setup):
     """20 control steps (300 substeps) of PD-held standing match to <1e-8.
 

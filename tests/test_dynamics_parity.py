@@ -113,6 +113,7 @@ def test_smooth_qacc(setup):
         mj_model.opt.disableflags = mj_model.opt.disableflags & ~int(mujoco.mjtDisableBit.mjDSBL_CONTACT)
 
 
+@pytest.mark.slow
 def test_free_flight_trajectory(setup):
     """150 substeps of contact-free dynamics track MuJoCo to <1e-6 rad."""
     model, mj_model, mj_data = setup
@@ -144,3 +145,36 @@ def test_free_flight_trajectory(setup):
     np.testing.assert_allclose(np.asarray(qp)[7:], mj_data.qpos[7:], atol=1e-6)
     np.testing.assert_allclose(np.asarray(qp)[:3], mj_data.qpos[:3], atol=1e-6)
     np.testing.assert_allclose(np.asarray(qv), mj_data.qvel, atol=1e-5)
+
+
+def test_external_forces_match_xfrc_applied(setup):
+    """dynamics.external_forces == MuJoCo xfrc_applied (COM wrench) route."""
+    model64, mj_model, mj_data = setup
+    rng = np.random.RandomState(21)
+    qpos, qvel = random_state(model64, seed=21)
+    force = rng.uniform(-50, 50, (model64.nbody, 3))
+    torque = rng.uniform(-10, 10, (model64.nbody, 3))
+
+    mj_data.qpos[:] = qpos
+    mj_data.qvel[:] = qvel
+    mj_data.xfrc_applied[:] = 0
+    mj_data.xfrc_applied[1:, :3] = force   # mj body 0 is world
+    mj_data.xfrc_applied[1:, 3:] = torque
+    mujoco.mj_forward(mj_model, mj_data)
+    # compare accelerations with and without the wrench to isolate its
+    # generalized-force contribution
+    qacc_with = mj_data.qacc.copy()
+    mj_data.xfrc_applied[:] = 0
+    mujoco.mj_forward(mj_model, mj_data)
+    qacc_without = mj_data.qacc.copy()
+
+    from smplsim_tpu.physics import dynamics as dyn
+    from smplsim_tpu.physics import kinematics, linalg
+
+    kin = kinematics.fk(model64, jnp.asarray(qpos))
+    M = dyn.mass_matrix(model64, kin)
+    qfrc_ext = dyn.external_forces(
+        model64, kin, jnp.asarray(force), jnp.asarray(torque)
+    )
+    dqacc = np.asarray(linalg.cho_solve(linalg.cholesky(M), qfrc_ext))
+    np.testing.assert_allclose(dqacc, qacc_with - qacc_without, atol=1e-7)

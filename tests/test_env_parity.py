@@ -104,6 +104,7 @@ def test_obs_formula_parity(model64, ref):
         np.testing.assert_allclose(obs_ours, obs_ref, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_obs_v2_sensor_parity(model64, ref):
     """self_obs_v=2 on the MuJoCo path: the reference reads body velocities
     from framelinvel/frameangvel sensordata (humanoid_env.py:539-544,
@@ -177,6 +178,7 @@ def test_reach_obs_and_reward_formula(model64, ref):
     )
 
 
+@pytest.mark.slow
 def test_speed_closed_loop_trajectory(model64, ref):
     """150 closed-loop control steps with identical actions: qpos within
     1e-2, reward within 5e-3 (the BASELINE.md parity gate)."""
@@ -201,6 +203,7 @@ def test_speed_closed_loop_trajectory(model64, ref):
             break
 
 
+@pytest.mark.slow
 def test_termination_parity_lying_pose(model64, ref):
     """A body lying on the floor must terminate in both (non-foot contact)."""
     env_ref = make_ref_env(ref, "HumanoidSpeed")

@@ -68,6 +68,7 @@ def pin_height(ref_env, st, tar_height):
     return st.replace(task=task)
 
 
+@pytest.mark.slow
 @pytest.mark.xfail(
     strict=False,
     reason="mjc_BoxBox cltype manifold branches (corner/edge clip) pending — "
