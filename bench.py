@@ -68,7 +68,7 @@ def main():
             {
                 "metric": "humanoid_env_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 1),
-                "unit": "env-steps/s (4096 envs, 30 Hz control, 450 Hz physics)",
+                "unit": f"env-steps/s ({BATCH} envs, 30 Hz control, 450 Hz physics)",
                 "vs_baseline": round(steps_per_sec / 1e6, 4),
             }
         )

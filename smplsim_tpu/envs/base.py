@@ -197,8 +197,11 @@ class HumanoidEnv:
             )
             return (phys, cache), None
 
+        from smplsim_tpu.physics import constraints as con_mod
+
         cache0 = (
             engine.pd_cache(model, phys)
+            + (jnp.zeros(con_mod.NEFC, model.qpos0.dtype),)
             if cfg.control_mode == "uhc_pd" else None
         )
         (phys, _), _ = jax.lax.scan(

@@ -33,16 +33,22 @@ _BOX_FACES = [
 ]
 
 
-def draw_frame(ax, model: RobotModel, qpos, color="#3070b0", floor=True):
-    """Draw one pose's geoms onto a 3-D matplotlib axis."""
+def draw_frame(ax, model: RobotModel, qpos, color="#3070b0", floor=True,
+               kin_np=None):
+    """Draw one pose's geoms onto a 3-D matplotlib axis. `kin_np` optionally
+    provides precomputed (xpos, xmat) — per-frame eager FK through a remote
+    TPU tunnel costs seconds in dispatch alone."""
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
-    from smplsim_tpu.physics import kinematics
 
-    import jax.numpy as jnp
+    if kin_np is None:
+        import jax.numpy as jnp
 
-    kin = kinematics.fk(model, jnp.asarray(qpos))
-    xpos = np.asarray(kin.xpos)
-    xmat = np.asarray(kin.xmat)
+        from smplsim_tpu.physics import kinematics
+
+        kin = kinematics.fk(model, jnp.asarray(qpos))
+        xpos, xmat = np.asarray(kin.xpos), np.asarray(kin.xmat)
+    else:
+        xpos, xmat = kin_np
 
     if floor:
         s = 1.5
@@ -95,13 +101,24 @@ def render_rollout(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    import jax
+    import jax.numpy as jnp
+
+    from smplsim_tpu.physics import kinematics
+
     qpos_traj = np.asarray(qpos_traj)[::every]
+    # ONE batched device call for all frames' FK, host-side drawing after
+    kin = jax.jit(jax.vmap(lambda q: kinematics.fk(model, q)))(
+        jnp.asarray(qpos_traj)
+    )
+    xpos_all = np.asarray(kin.xpos)
+    xmat_all = np.asarray(kin.xmat)
     frames = []
     fig = plt.figure(figsize=figsize, dpi=80)
-    for qpos in qpos_traj:
+    for i, qpos in enumerate(qpos_traj):
         fig.clf()
         ax = fig.add_subplot(111, projection="3d")
-        draw_frame(ax, model, qpos)
+        draw_frame(ax, model, qpos, kin_np=(xpos_all[i], xmat_all[i]))
         c = qpos[0:3] if follow else np.zeros(3)
         ax.set_xlim(c[0] - 1.0, c[0] + 1.0)
         ax.set_ylim(c[1] - 1.0, c[1] + 1.0)
