@@ -316,8 +316,11 @@ def _newton_qp_chunked(A, b, active, f0, iters: int = NEWTON_ITERS):
     def body(carry):
         i, f, _ = carry
         f_new = _newton_qp_pallas(A, b, active, f, iters=_CHUNK)
+        # movement floor at 1e-4 relative: f32 line-search jitter sits above
+        # 1e-6 of the force scale, which kept stalled systems "moving" and
+        # every chunk running to the 40-iteration cap
         moved = jnp.any(
-            jnp.abs(f_new - f) > 1e-6 * (1.0 + jnp.abs(f)), axis=(-1,)
+            jnp.abs(f_new - f) > 1e-4 * (1.0 + jnp.abs(f)), axis=(-1,)
         )
         done = jnp.all(kkt_ok(f_new) | ~moved)
         return i + _CHUNK, f_new, done
