@@ -34,7 +34,7 @@ from flax import struct
 
 from smplsim_tpu.envs import obs as obs_mod
 from smplsim_tpu.models.spec import RobotModel
-from smplsim_tpu.physics import engine, kinematics
+from smplsim_tpu.physics import engine, kinematics, solver
 from smplsim_tpu.physics.engine import PhysicsState
 
 
@@ -292,7 +292,8 @@ class HumanoidEnv:
             rng=k_next,
             task=task,
             info={"power": jnp.zeros((), dtype),
-                  "nactive": jnp.zeros((), jnp.int32)},
+                  "nactive": jnp.zeros((), jnp.int32),
+                  "overflow": jnp.zeros((), bool)},
             pd_cache=cache,
             kin=kin,
         )
@@ -347,7 +348,12 @@ class HumanoidEnv:
             cur_t=cur_t,
             rng=k_next,
             task=task,
-            info={"power": power, "nactive": info_last.nactive_max},
+            # overflow: some substep this control step exceeded the compact
+            # solve's COMPACT_ROWS and truncated the shallowest rows — forces
+            # are approximate; surfaced so training telemetry can see it
+            # (VERDICT r2 weak #5)
+            info={"power": power, "nactive": info_last.nactive_max,
+                  "overflow": info_last.nactive_max > solver.COMPACT_ROWS},
             pd_cache=cache,
             kin=kin,
         )

@@ -40,7 +40,7 @@ from flax import struct
 from smplsim_tpu import transforms as T
 from smplsim_tpu.envs.base import EnvConfig, EnvState, HumanoidEnv
 from smplsim_tpu.models.spec import RobotModel
-from smplsim_tpu.physics import engine, kinematics
+from smplsim_tpu.physics import engine, kinematics, solver
 from smplsim_tpu.physics.engine import PhysicsState
 
 
@@ -376,14 +376,14 @@ class NvHumanoid(HumanoidEnv):
 
         ext_force = None
         if cfg_nv.perturb_interval > 0:
-            k_body, k_dir = jax.random.split(k_task)
+            k_body, k_dir, k_mag = jax.random.split(k_task, 3)
             active = (state.cur_t % cfg_nv.perturb_interval) == 0
             body = jax.random.randint(k_body, (), 0, model.nbody)
             d = jax.random.normal(k_dir, (3,), state.phys.qpos.dtype)
             d = d.at[2].set(jnp.abs(d[2]))  # upward bias like thrown objects
             d = d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
             mag = jax.random.uniform(
-                k_dir, (), state.phys.qpos.dtype, 0.0, cfg_nv.perturb_force
+                k_mag, (), state.phys.qpos.dtype, 0.0, cfg_nv.perturb_force
             )
             ext_force = jnp.where(
                 active,
@@ -440,6 +440,7 @@ class NvHumanoid(HumanoidEnv):
             phys=phys, obs=obs, reward=rew,
             terminated=terminated, truncated=truncated,
             cur_t=cur_t, rng=k_next, task=task,
-            info={"power": power, "nactive": info_last.nactive_max},
+            info={"power": power, "nactive": info_last.nactive_max,
+                  "overflow": info_last.nactive_max > solver.COMPACT_ROWS},
             pd_cache=cache, kin=kin,
         )

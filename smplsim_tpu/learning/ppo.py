@@ -123,6 +123,8 @@ class PPO:
                 reward=nxt.reward,
                 terminated=nxt.terminated,
                 done=nxt.done,
+                nactive=nxt.info["nactive"],
+                overflow=nxt.info["overflow"],
             )
             return nxt, out
 
@@ -226,6 +228,10 @@ class PPO:
             "reward_mean": traj["reward"].mean(),
             "episode_done_frac": traj["done"].astype(values.dtype).mean(),
             "value_mean": values.mean(),
+            # constraint-solver health: env-steps whose compact solve dropped
+            # rows (forces approximate) and the deepest active-row count seen
+            "efc_overflow_frac": traj["overflow"].astype(values.dtype).mean(),
+            "nactive_max": traj["nactive"].max().astype(values.dtype),
         }
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)

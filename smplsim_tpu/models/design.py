@@ -157,8 +157,19 @@ class DesignSpace:
                 parts.append(self._ratio_to_norm(e, ratio))
         return jnp.clip(jnp.concatenate(parts), -1.0, 1.0)
 
-    def unflatten(self, model: RobotModel, vec: jax.Array) -> RobotModel:
-        """Apply a (D,) design vector in [-1, 1] to `model` (pure, jittable)."""
+    def unflatten(self, model: RobotModel | None, vec: jax.Array) -> RobotModel:
+        """Materialize a (D,) design vector in [-1, 1] as a RobotModel.
+
+        Design vectors are ABSOLUTE with respect to the base model this space
+        was built with: every spec'd field is computed from `self._base` and
+        the vector, so `unflatten(m, flatten(m2))` reproduces m2's spec'd
+        fields regardless of m. `model` (defaults to the base) only supplies
+        the NON-spec'd fields of the result — pass a model whose other
+        arrays (e.g. domain-randomized friction) should be preserved.
+        Pure and jittable.
+        """
+        if model is None:
+            model = self._base
         updates = {}
         off = 0
         for e in self.entries:

@@ -141,6 +141,39 @@ class RobotModel(struct.PyTreeNode):
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), self)
 
 
+def stack_models(models: list["RobotModel"]) -> "RobotModel":
+    """Stack N same-topology RobotModels into one batched pytree.
+
+    The TPU-native equivalent of the reference's per-env β-sampled robots
+    (smpl_sim/envs/nv/humanoid.py:1197-1229, 1298-1343 builds a different
+    MJCF per env from sampled AMASS betas): every array leaf gains a leading
+    (N,) axis, static topology (parents, geom types, names...) must be
+    identical across inputs and is kept once. The result feeds the envs'
+    `model=` override under vmap:
+
+        batched = stack_models([build_robot_model(p, b)[0] for b in betas])
+        states = jax.vmap(lambda k, m: env.reset(k, model=m))(keys, batched)
+        states = jax.vmap(lambda s, a, m: env.step_autoreset(s, a, model=m))(
+            states, actions, batched)
+    """
+    if not models:
+        raise ValueError("stack_models needs at least one model")
+    base = models[0]
+    static_fields = [
+        f.name for f in dataclasses.fields(base)
+        if not f.metadata.get("pytree_node", True)
+    ]
+    for i, m in enumerate(models[1:], 1):
+        for name in static_fields:
+            if getattr(m, name) != getattr(base, name):
+                raise ValueError(
+                    f"model {i} static field {name!r} differs from model 0 — "
+                    "stack_models requires identical topology (same SMPL "
+                    "family / RobotConfig; betas may differ)"
+                )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+
+
 # ---------------------------------------------------------------------------
 # Inertia synthesis from geoms (replaces MuJoCo's compiler inertial pass)
 # ---------------------------------------------------------------------------

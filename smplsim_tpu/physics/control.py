@@ -13,6 +13,8 @@ kp/kd live on the RobotModel (jkp/jkd from the reference GAINS table).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +66,70 @@ def torque_ctrl(model: RobotModel, action: jax.Array, power_scale: float = 1.0) 
     """SimpleTorqueController: scale+clip (controllers.py:6-47)."""
     tau = action * power_scale * model.torque_lim
     return jnp.clip(tau, -model.torque_lim, model.torque_lim)
+
+
+class PIDState(NamedTuple):
+    """Carried state of SimplePID (pure-functional port of the reference's
+    stateful object, controllers.py:193-262)."""
+
+    proportional: jax.Array  # (nu,) running P term (proportional-on-measurement)
+    integral: jax.Array      # (nu,)
+    last_input: jax.Array    # (nu,) previous feedback (qpos[7:])
+    last_error: jax.Array    # (nu,)
+    primed: jax.Array        # () bool: last_* valid (False on the first call)
+
+
+def simple_pid_init(nu: int, dtype=jnp.float32) -> PIDState:
+    z = jnp.zeros(nu, dtype)
+    return PIDState(z, z, z, z, jnp.zeros((), bool))
+
+
+def simple_pid_torque(
+    model: RobotModel,
+    state: PIDState,
+    qpos: jax.Array,
+    action: jax.Array,
+    jki: jax.Array | None = None,
+    proportional_on_measurement: bool = False,
+    differential_on_measurement: bool = False,
+) -> tuple[jax.Array, PIDState]:
+    """SimplePID law (reference controllers.py:193-262, itself after
+    m-lundberg/simple-pid). Returns (tau, state').
+
+    First call semantics match the reference: d_input and d_error are zero
+    when last_* is unset (the `primed` flag replaces the None checks).
+    Output and integral are clamped to torque_lim (anti-windup).
+    """
+    dt = model.timestep
+    lim = model.torque_lim
+    kp, kd = model.jkp, model.jkd
+    ki = jnp.zeros_like(kp) if jki is None else jki
+
+    feedback = qpos[7:]
+    setpoint = pd_target_from_action(model, action)
+    error = setpoint - feedback
+    d_input = jnp.where(state.primed, feedback - state.last_input, 0.0)
+    d_error = jnp.where(state.primed, error - state.last_error, 0.0)
+
+    if proportional_on_measurement:
+        proportional = state.proportional - kp * d_input
+    else:
+        proportional = kp * error
+    integral = jnp.clip(state.integral + ki * error * dt, -lim, lim)
+    if differential_on_measurement:
+        derivative = -kd * d_input / dt
+    else:
+        derivative = kd * d_error / dt
+
+    tau = jnp.clip(proportional + integral + derivative, -lim, lim)
+    new_state = PIDState(
+        proportional=proportional,
+        integral=integral,
+        last_input=feedback,
+        last_error=error,
+        primed=jnp.ones((), bool),
+    )
+    return tau, new_state
 
 
 def pid_torque(

@@ -57,7 +57,10 @@ def solve_constraints(
     Row slots are assigned deepest-first by make_efc's top_k selections,
     which are stable between 450 Hz substeps except when contacts reorder;
     a mismatched slot only degrades the warm start (more Newton iterations
-    that substep), never the answer — the QP minimizer is unique.
+    that substep), never the answer — the QP minimizer is unique BECAUSE
+    every active row carries R > 0 (make_efc floors active-row R at 1e-10,
+    matching MuJoCo's mj_makeImpedance positivity), which makes A + diag(R)
+    strictly positive definite on the active set.
     """
     nefc = efc.J.shape[0]
     dtype = efc.J.dtype

@@ -89,8 +89,12 @@ def render_rollout(
     figsize=(5, 5),
     follow: bool = True,
 ):
-    """Render a (T, nq) qpos trajectory to an animated GIF at `path`.
+    """Render a (T, nq) qpos trajectory to `path` (.gif or .mp4).
 
+    The container is chosen by extension: .mp4 encodes through OpenCV
+    (mp4v — no ffmpeg on this image), anything else goes through imageio's
+    GIF writer. This is the GL-free stand-in for the reference's offscreen
+    mujoco.Renderer + imageio mp4 dump (smpl_sim/envs/base_env.py:148-201).
     `every` subsamples frames (every=2 halves the frame count). `follow`
     keeps the camera centered on the root. Returns the number of frames
     written.
@@ -130,5 +134,18 @@ def render_rollout(
         buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
         frames.append(buf.copy())
     plt.close(fig)
-    imageio.mimsave(path, frames, duration=1000.0 / (fps / every), loop=0)
+    if path.lower().endswith(".mp4"):
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps / every, (w, h)
+        )
+        if not vw.isOpened():
+            raise RuntimeError(f"cv2.VideoWriter failed to open {path}")
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+    else:
+        imageio.mimsave(path, frames, duration=1000.0 / (fps / every), loop=0)
     return len(frames)

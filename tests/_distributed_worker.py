@@ -18,12 +18,24 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
+def barrier(name: str, timeout_ms: int = 600_000):
+    """Coordination-service barrier (no collectives, no Gloo): all processes
+    block here until everyone arrives. Used to keep compile-time skew out of
+    the Gloo context-init window — its KV-store exchange has a hard 30 s
+    deadline, and a worker that finishes compiling minutes before its peer
+    would hit it (observed deterministically on slow CPU compiles)."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
 def main():
     coordinator, num_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_procs,
         process_id=pid,
+        initialization_timeout=300,
     )
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -62,12 +74,33 @@ def main():
         lambda s: NamedSharding(mesh, s), spec_tree,
         is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
     )
+    # Establish the 8-device Gloo clique while the processes are still in
+    # lock-step (right after a barrier): the context init's KV exchange has a
+    # 30 s deadline that compile skew must not eat.
+    from jax.sharding import NamedSharding as NS, PartitionSpec as P
+
+    barrier("pre-warmup")
+    warm = jax.jit(
+        lambda x: jax.shard_map(
+            lambda v: jax.lax.psum(v, "data"), mesh=mesh,
+            in_specs=P("data"), out_specs=P(),
+        )(x),
+    )(jax.device_put(
+        jnp.ones(len(devices)), NS(mesh, P("data"))
+    ))
+    assert float(jax.device_get(warm)[0]) == len(devices)
+    print(f"pid {pid}: gloo warm-up ok", flush=True)
+
     ts = jax.jit(ppo.init, out_shardings=shardings)(jax.random.PRNGKey(0))
     print(f"pid {pid}: init placed", flush=True)
     step, ts = par_rollout.sharded_ppo_step(ppo, mesh, ts, place=False)
-    print(f"pid {pid}: step built", flush=True)
+    # AOT-compile the step on every process BEFORE anyone dispatches it, then
+    # barrier: the first execution's collectives start near-simultaneously.
+    step_c = step.lower(ts).compile()
+    print(f"pid {pid}: step compiled", flush=True)
+    barrier("post-compile")
     for _ in range(2):
-        ts, metrics = step(ts)
+        ts, metrics = step_c(ts)
     import numpy as np
 
     reward = float(np.asarray(jax.device_get(metrics["reward_mean"])))

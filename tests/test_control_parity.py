@@ -89,3 +89,77 @@ def test_torque_controller_matches_reference_rule(setup):
         np.asarray(model.torque_lim),
     )
     np.testing.assert_allclose(np.asarray(tau), expect, atol=1e-12)
+
+
+class _RefSimplePID:
+    """Reference SimplePID verbatim (controllers.py:193-262, numpy twin)."""
+
+    def __init__(self, Kp, Ki, Kd, dt, output_lim, scale, offset,
+                 pom=False, dom=False):
+        self._Kp, self._Ki, self._Kd = Kp, Ki, Kd
+        self._pom, self._dom = pom, dom
+        self.scale, self.offset = scale, offset
+        self._lim = output_lim
+        self._last_input = None
+        self._last_error = None
+        self._proportional = np.zeros(output_lim.shape[0])
+        self._integral = np.zeros(output_lim.shape[0])
+        self._dt = dt
+
+    def control(self, action, qpos):
+        feedback = qpos[7:].copy()
+        setpoint = action * self.scale + self.offset
+        error = setpoint - feedback
+        d_input = feedback - (self._last_input if self._last_input is not None
+                              else feedback)
+        d_error = error - (self._last_error if self._last_error is not None
+                           else error)
+        if not self._pom:
+            self._proportional = self._Kp * error
+        else:
+            self._proportional -= self._Kp * d_input
+        self._integral += self._Ki * error * self._dt
+        self._integral = np.clip(self._integral, -self._lim, self._lim)
+        if self._dom:
+            derivative = -self._Kd * d_input / self._dt
+        else:
+            derivative = self._Kd * d_error / self._dt
+        out = np.clip(self._proportional + self._integral + derivative,
+                      -self._lim, self._lim)
+        self._last_input = feedback
+        self._last_error = error
+        return out
+
+
+@pytest.mark.parametrize("pom,dom", [(False, False), (True, True)])
+def test_simple_pid_parity(setup, pom, dom):
+    """simple_pid_torque matches the stateful reference over 25 calls,
+    including the unprimed first call and both on-measurement modes."""
+    from smplsim_tpu.physics import control as ctrl_mod
+
+    model, mj_model = setup
+    nu = model.nu
+    rng = np.random.RandomState(0)
+    jki = np.abs(rng.randn(nu)) * 5.0
+    ref = _RefSimplePID(
+        np.asarray(model.jkp), jki, np.asarray(model.jkd),
+        float(model.timestep), np.asarray(model.torque_lim),
+        np.asarray(model.pd_action_scale), np.asarray(model.pd_action_offset),
+        pom=pom, dom=dom,
+    )
+    st = ctrl_mod.simple_pid_init(nu, jnp.float64)
+    step = jax.jit(
+        lambda s, q, a: ctrl_mod.simple_pid_torque(
+            model, s, q, a, jki=jnp.asarray(jki),
+            proportional_on_measurement=pom,
+            differential_on_measurement=dom,
+        ),
+        static_argnames=(),
+    )
+    for i in range(25):
+        qpos = rng.randn(model.nq) * 0.3
+        action = rng.uniform(-1, 1, nu)
+        tau_ref = ref.control(action, qpos)
+        tau, st = step(st, jnp.asarray(qpos), jnp.asarray(action))
+        np.testing.assert_allclose(np.asarray(tau), tau_ref, atol=1e-9,
+                                   err_msg=f"call {i}")

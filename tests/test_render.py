@@ -46,3 +46,21 @@ def test_run_policy_render_path(tmp_path):
     gif = str(tmp_path / "eval.gif")
     agent.run_policy(n_episodes=1, horizon=3, render_path=gif)
     assert os.path.getsize(gif) > 1000
+
+
+def test_render_rollout_writes_mp4(tmp_path):
+    """.mp4 extension routes through the OpenCV encoder (reference parity:
+    base_env.py:148-201 writes mp4 via imageio/ffmpeg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smplsim_tpu import render
+    from smplsim_tpu.models import registry
+
+    model = registry.default_humanoid(dtype=jnp.float32)
+    qpos = jnp.tile(model.qpos0[None], (4, 1))
+    qpos = qpos.at[:, 2].add(jnp.linspace(0.9, 1.0, 4))
+    path = str(tmp_path / "roll.mp4")
+    n = render.render_rollout(model, qpos, path, every=1)
+    assert n == 4
+    assert os.path.getsize(path) > 1000
