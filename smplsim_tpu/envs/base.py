@@ -293,7 +293,8 @@ class HumanoidEnv:
             task=task,
             info={"power": jnp.zeros((), dtype),
                   "nactive": jnp.zeros((), jnp.int32),
-                  "overflow": jnp.zeros((), bool)},
+                  "overflow": jnp.zeros((), bool),
+                  "stalled": jnp.zeros((), bool)},
             pd_cache=cache,
             kin=kin,
         )
@@ -353,7 +354,8 @@ class HumanoidEnv:
             # are approximate; surfaced so training telemetry can see it
             # (VERDICT r2 weak #5)
             info={"power": power, "nactive": info_last.nactive_max,
-                  "overflow": info_last.nactive_max > solver.COMPACT_ROWS},
+                  "overflow": info_last.nactive_max > solver.COMPACT_ROWS,
+                  "stalled": info_last.stalled_any},
             pd_cache=cache,
             kin=kin,
         )

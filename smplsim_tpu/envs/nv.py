@@ -441,6 +441,7 @@ class NvHumanoid(HumanoidEnv):
             terminated=terminated, truncated=truncated,
             cur_t=cur_t, rng=k_next, task=task,
             info={"power": power, "nactive": info_last.nactive_max,
-                  "overflow": info_last.nactive_max > solver.COMPACT_ROWS},
+                  "overflow": info_last.nactive_max > solver.COMPACT_ROWS,
+                  "stalled": info_last.stalled_any},
             pd_cache=cache, kin=kin,
         )

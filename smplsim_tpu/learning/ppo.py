@@ -125,6 +125,7 @@ class PPO:
                 done=nxt.done,
                 nactive=nxt.info["nactive"],
                 overflow=nxt.info["overflow"],
+                stalled=nxt.info["stalled"],
             )
             return nxt, out
 
@@ -231,6 +232,7 @@ class PPO:
             # constraint-solver health: env-steps whose compact solve dropped
             # rows (forces approximate) and the deepest active-row count seen
             "efc_overflow_frac": traj["overflow"].astype(values.dtype).mean(),
+            "qp_stalled_frac": traj["stalled"].astype(values.dtype).mean(),
             "nactive_max": traj["nactive"].max().astype(values.dtype),
         }
         if axis_name is not None:

@@ -28,6 +28,7 @@ calls (CPU tests, odd shapes, f64) run the reference scan implementation;
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,17 +36,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BB = 128          # batch elements per block = lane width
-NEWTON_ITERS = 40  # iteration cap; keep in sync with physics.solver.
-# Cold-started contact-rich (lying-pose) systems need ~15-40 iterations
-# for the 1e-8 qacc parity gate; the KKT early exit makes the cap cheap
-# (warm-started substeps converge in 1-3).
+
+# Iteration cap. Cold-started contact-rich (lying-pose) systems need ~15-40
+# iterations for the 1e-8 qacc parity gate; the KKT early exit makes the cap
+# cheap (warm-started substeps converge in 1-3). SMPLSIM_QP_ITERS overrides
+# for product-rate operation: tools/calibrate_solver.py measures the
+# iterations/tol -> 150-step trajectory-divergence curve against the 1e-2
+# product gate (BASELINE.md), which needs far less than row-level parity.
+NEWTON_ITERS = int(os.environ.get("SMPLSIM_QP_ITERS", 40))
 
 _LS_STEPS = (1.0, 0.5, 0.25, 0.0625, 0.015625)
 
 # KKT tolerance (relative to 1 + max|b|). f64 effectively reproduces the
 # fixed-12-iteration result (machine-precision fixed point); f32 stops at
-# the single-precision noise floor.
-_TOLS = {jnp.dtype(jnp.float32): 1e-6, jnp.dtype(jnp.float64): 1e-12}
+# the single-precision noise floor. SMPLSIM_QP_TOL loosens the f32 stop for
+# product-rate operation (see calibrate_solver.py).
+_TOLS = {
+    jnp.dtype(jnp.float32): float(os.environ.get("SMPLSIM_QP_TOL", 1e-6)),
+    jnp.dtype(jnp.float64): 1e-12,
+}
 
 
 def _tol_for(dtype) -> float:
@@ -283,7 +292,7 @@ def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
     return jnp.transpose(f_t, (1, 0))[:Bn]
 
 
-_CHUNK0 = 12  # first kernel call: the overwhelmingly common convergence depth
+_CHUNK0 = min(12, NEWTON_ITERS)  # first kernel call: the common convergence depth
 _CHUNK = 8    # straggler chunks afterwards, up to the iteration cap
 
 

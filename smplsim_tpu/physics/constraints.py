@@ -46,11 +46,16 @@ def top_k_pad(score: jax.Array, k: int):
     if k > 24 or n <= 2 * k:
         return jax.lax.top_k(score, k)
 
+    iota = jnp.arange(n, dtype=jnp.int32)
+
     def pick(carry, _):
         s = carry
-        i = jnp.argmax(s)
-        v = s[i]
-        return s.at[i].set(-jnp.inf), (v, i.astype(jnp.int32))
+        # max/argmax reductions + where-mask stay lane-parallel under vmap;
+        # the earlier s.at[i].set / s[i] forms lowered to per-env scatter/
+        # gather, which serialize on TPU
+        v = jnp.max(s)
+        i = jnp.argmax(s).astype(jnp.int32)
+        return jnp.where(iota == i, -jnp.inf, s), (v, i)
 
     _, (vals, idx) = jax.lax.scan(pick, score, None, length=k)
     return vals, idx

@@ -33,6 +33,9 @@ class StepInfo(NamedTuple):
     # solver.COMPACT_ROWS the compact solve truncated rows and forces are
     # approximate — see tests/test_getup_parity.py for the regime check.
     nactive_max: jax.Array | None = None
+    # any substep's QP returned forces short of the KKT tolerance
+    # (iteration cap / movement-floor exit) — solver health telemetry
+    stalled_any: jax.Array | None = None
 
 
 def init_state(model: RobotModel) -> PhysicsState:
@@ -67,7 +70,8 @@ def forward(
 def step(model: RobotModel, state: PhysicsState, ctrl: jax.Array):
     """One physics substep (mj_step equivalent). Returns (state', StepInfo)."""
     info = forward(model, state, ctrl)
-    info = info._replace(nactive_max=info.sol.nactive)
+    info = info._replace(nactive_max=info.sol.nactive,
+                         stalled_any=info.sol.stalled)
     qpos, qvel = integrator.euler_step(
         model, state.qpos, state.qvel, info.sol.qacc, model.timestep
     )
@@ -170,7 +174,7 @@ def control_step(
             M0, C0, f_w0 = cache
 
         def substep(carry, _):
-            st, M_prev, C_prev, f_w, power, nact = carry
+            st, M_prev, C_prev, f_w, power, nact, stall = carry
             tau = ctrl_mod.stable_pd_torque(
                 model, M_prev, C_prev, st.qpos, st.qvel, target
             )
@@ -187,17 +191,20 @@ def control_step(
             f_w = jnp.where(bad, 0.0, sol.efc_force)
             power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
             nact = jnp.maximum(nact, sol.nactive)
+            stall = stall | sol.stalled
             info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol,
-                            nactive_max=nact)
+                            nactive_max=nact, stalled_any=stall)
             return (
-                PhysicsState(qpos=qpos, qvel=qvel), M, C, f_w, power, nact
+                PhysicsState(qpos=qpos, qvel=qvel), M, C, f_w, power, nact,
+                stall,
             ), info
 
         # first n-1 substeps discard StepInfo (a scan output would stack it
         # across substeps — gigabytes at batch 4096); final substep runs
         # outside the scan so only ITS info materializes
         carry = (
-            state, M0, C0, f_w0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
+            state, M0, C0, f_w0, jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
         )
         if control_freq_inv > 1:
             def substep_noinfo(carry, _):
@@ -207,11 +214,11 @@ def control_step(
                 substep_noinfo, carry, None, length=control_freq_inv - 1
             )
         carry, last_info = substep(carry, None)
-        state, M_last, C_last, f_w, power, _ = carry
+        state, M_last, C_last, f_w, power, _, _ = carry
         return state, last_info, power, (M_last, C_last, f_w)
 
     def substep(carry, _):
-        st, f_w, power, nact = carry
+        st, f_w, power, nact, stall = carry
         if control_mode == "torque":
             tau = ctrl_mod.torque_ctrl(model, action, power_scale)
         elif control_mode == "default":
@@ -231,11 +238,14 @@ def control_step(
         f_w = jnp.where(bad, 0.0, info.sol.efc_force)
         power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
         nact = jnp.maximum(nact, info.sol.nactive)
-        return (st2, f_w, power, nact), info._replace(nactive_max=nact)
+        stall = stall | info.sol.stalled
+        return (st2, f_w, power, nact, stall), info._replace(
+            nactive_max=nact, stalled_any=stall
+        )
 
     carry = (
         state, jnp.zeros(nefc, dtype), jnp.zeros((), dtype),
-        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
     )
     if control_freq_inv > 1:
         def substep_noinfo(carry, _):
@@ -244,5 +254,5 @@ def control_step(
         carry, _ = jax.lax.scan(
             substep_noinfo, carry, None, length=control_freq_inv - 1
         )
-    (state, _, power, _), last_info = substep(carry, None)
+    (state, _, power, _, _), last_info = substep(carry, None)
     return state, last_info, power, None

@@ -22,14 +22,17 @@ from smplsim_tpu.models.spec import RobotModel
 from smplsim_tpu.physics import linalg
 from smplsim_tpu.physics.constraints import EFC
 from smplsim_tpu.physics.dynamics import Smooth
-from smplsim_tpu.ops.qp_kernel import newton_qp
-
-NEWTON_ITERS = 40
+from smplsim_tpu.ops.qp_kernel import NEWTON_ITERS, newton_qp
 
 # compact active system size: rows beyond the K deepest-active are dropped
 # (the humanoid rarely exceeds ~40 simultaneously active rows; all parity
-# tests operate well under K)
-COMPACT_ROWS = 64
+# tests operate well under K). SMPLSIM_QP_ROWS overrides for product-rate
+# operation — the QP kernel's factorization work scales ~K^3 and the speed
+# task runs ~16-28 active rows, so K=32 halves-to-quarters the solve. The
+# `overflow` flag (env info / PPO efc_overflow_frac) audits the truncation.
+import os as _os
+
+COMPACT_ROWS = int(_os.environ.get("SMPLSIM_QP_ROWS", 64))
 
 
 class ConstraintSolution(NamedTuple):
@@ -38,6 +41,10 @@ class ConstraintSolution(NamedTuple):
     qfrc_constraint: jax.Array  # (nv,)
     nactive: jax.Array    # () int32: EFC rows active this substep
     overflow: jax.Array   # () bool: nactive > COMPACT_ROWS (forces truncated)
+    # () bool: the returned forces do NOT meet the KKT tolerance — the solver
+    # hit its iteration cap or the chunked early-exit's movement floor
+    # (ADVICE r2: f32-stalled lanes used to truncate convergence silently)
+    stalled: jax.Array
 
 
 def solve_constraints(
@@ -96,7 +103,14 @@ def solve_constraints(
     # scatter compact forces back to the full row layout
     efc_force = onehot.T @ f
     nactive = jnp.sum(efc.active, dtype=jnp.int32)
+    # convergence audit: one extra matvec surfaces solves truncated by the
+    # iteration cap / chunked movement floor (telemetry, not control flow)
+    from smplsim_tpu.ops.qp_kernel import _tol_for
+
+    g = A @ f - b
+    kkt = jnp.max(jnp.abs(f - jnp.maximum(f - g, 0.0)) * active)
+    stalled = kkt > _tol_for(dtype) * (1.0 + jnp.max(jnp.abs(b)))
     return ConstraintSolution(
         qacc=qacc, efc_force=efc_force, qfrc_constraint=qfrc,
-        nactive=nactive, overflow=nactive > K,
+        nactive=nactive, overflow=nactive > K, stalled=stalled,
     )

@@ -24,6 +24,8 @@ def main():
     samples = int(kv.get("samples", 64))
     horizon = int(kv.get("horizon", 4))
     n_solves = int(kv.get("solves", 5))
+    out_path = kv.get("out", "")
+    records = []
 
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
@@ -37,17 +39,23 @@ def main():
     st = env.reset(jax.random.PRNGKey(0))
 
     def timed_solves(plan_fn, label):
-        plan_fn(jax.random.PRNGKey(0), st)  # compile
+        # sync via HOST READ of a scalar: on the axon TPU tunnel
+        # block_until_ready returns at dispatch, not completion
+        a, _, _ = plan_fn(jax.random.PRNGKey(0), st)  # compile
+        float(np.asarray(a).ravel()[0])
         t0 = time.perf_counter()
         for i in range(n_solves):
             a, mean, cost = plan_fn(jax.random.PRNGKey(1 + i), st)
-        jax.block_until_ready(a)
+        float(np.asarray(a).ravel()[0])
         dt = time.perf_counter() - t0
-        print(json.dumps({
-            "config": label, "solves_per_sec": round(n_solves / dt, 3),
+        rec = {
+            "config": label, "platform": jax.default_backend(),
+            "solves_per_sec": round(n_solves / dt, 3),
             "ms_per_solve": round(dt / n_solves * 1000, 1),
             "samples": samples, "horizon": horizon,
-        }))
+        }
+        print(json.dumps(rec))
+        records.append(rec)
         return n_solves / dt
 
     # 1 device
@@ -73,7 +81,13 @@ def main():
             out_specs=(P(), P(), P()), check_vma=False,
         ))
         rn = timed_solves(sharded, f"{n_dev}-device mesh")
-        print(json.dumps({"scaling_efficiency": round(rn / r1 / 1.0, 3)}))
+        records.append({"scaling_efficiency": round(rn / r1 / 1.0, 3)})
+        print(json.dumps(records[-1]))
+    if out_path:
+        with open(out_path, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        print(f"appended {len(records)} records to {out_path}")
 
 
 if __name__ == "__main__":

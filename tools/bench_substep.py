@@ -209,6 +209,12 @@ def main():
     timeit("engine.control_step (15 substeps)", lambda: serialized(
         ctrl_step, qpos, lambda st: st.qpos.sum()))
 
+    timeit("env.step (no autoreset)", lambda: serialized(
+        lambda x, eps: jax.vmap(env.step)(
+            x.replace(phys=x.phys.replace(qpos=x.phys.qpos + eps)),
+            jnp.tanh(ctrl / 20)),
+        states, lambda st: st.phys.qpos.sum()))
+
     timeit("env.step_autoreset (full)", lambda: serialized(
         lambda x, eps: jax.vmap(env.step_autoreset)(
             x.replace(phys=x.phys.replace(qpos=x.phys.qpos + eps)),
@@ -219,6 +225,22 @@ def main():
     cs = results.get("engine.control_step (15 substeps)")
     if cs:
         print(f"implied env-steps/s at B={B}: {B / (cs / 1e3):,.0f}")
+
+    out = os.environ.get("BENCH_JSON")
+    if out:
+        import json
+
+        payload = {
+            "batch": B, "iters": ITERS,
+            "platform": jax.default_backend(),
+            "qp_iters": int(os.environ.get("SMPLSIM_QP_ITERS", 40)),
+            "ms_per_iter": {k: round(v, 4) for k, v in results.items()},
+        }
+        if cs:
+            payload["implied_env_steps_per_s"] = round(B / (cs / 1e3), 1)
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
