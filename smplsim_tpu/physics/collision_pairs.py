@@ -722,14 +722,16 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
     active_all = dist < margin
     score = jnp.where(active_all, -dist, -1e9)
     sval, sel = top_k_pad(score, MAX_SELF)
-    active_all = active_all[sel] & (sval > -1e9 / 2)
+    # selection as a one-hot matmul: the batched dynamic-index gathers of
+    # the (N,3) candidate arrays serialize on TPU under the env vmap
+    soh = (sel[:, None] == jnp.arange(dist.shape[0])[None, :]).astype(dtype)
     return SelfContacts(
-        dist=dist[sel],
-        pos=pos[sel],
-        normal=normal[sel],
+        dist=soh @ dist,
+        pos=soh @ pos,
+        normal=soh @ normal,
         body1=b1[sel],
         body2=b2[sel],
-        friction=mu[sel],
-        margin=margin[sel],
-        active=active_all,
+        friction=soh @ mu,
+        margin=soh @ margin,
+        active=((soh @ active_all.astype(dtype)) > 0.5) & (sval > -1e9 / 2),
     )

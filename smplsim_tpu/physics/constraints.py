@@ -225,17 +225,20 @@ def make_efc(
 
     score = jnp.where(lactive_all, -lpos, -_BIG)
     lval, lsel = top_k_pad(score, MAX_LIMITS)
-    l_pos = lpos[lsel]
-    l_sign = lsign[lsel]
-    l_active = lactive_all[lsel] & (lval > -_BIG / 2)
-    l_dof = 6 + lsel
+    # selection gathers as one-hot matmuls: batched gathers with dynamic
+    # indices serialize on TPU; a (K,N)x(N,..) matmul stays lane-parallel
+    # under the env vmap (same pattern as solver.solve_constraints)
+    loh = (lsel[:, None] == jnp.arange(lpos.shape[0])[None, :]).astype(dtype)
+    l_pos = loh @ lpos
+    l_sign = loh @ lsign
+    l_active = ((loh @ lactive_all.astype(dtype)) > 0.5) & (lval > -_BIG / 2)
 
     l_imp = impedance(jnp.broadcast_to(model.floor_solimp, (MAX_LIMITS, 5)), l_pos)
     lK, lB = solref_kb(model.floor_solref, model.floor_solimp)
-    l_vel = l_sign * qvel[l_dof]
+    l_vel = l_sign * (loh @ qvel[6:])
     l_aref = -lB * l_vel - lK * l_imp * l_pos
-    l_R = (1.0 - l_imp) / l_imp * model.dof_invweight0[l_dof]
-    l_J = jax.nn.one_hot(l_dof, nv, dtype=dtype) * l_sign[:, None]
+    l_R = (1.0 - l_imp) / l_imp * (loh @ model.dof_invweight0[6:])
+    l_J = jnp.pad(loh, ((0, 0), (6, 0))) * l_sign[:, None]
 
     # ---------------- floor contacts ----------------
     (dist, con_pos, cand_geom, cand_active, incmargin, cand_cap,
@@ -244,16 +247,27 @@ def make_efc(
         cand_active
     )
 
+    # static per-candidate tables (candidate -> geom/body identity is fixed
+    # at trace time), selected below via ONE one-hot matmul instead of
+    # per-field dynamic gathers
+    cand_geom_np, _, _ = _candidate_meta(model.geom_type)
+    cand_body_np = np.asarray(model.geom_body, np.int32)[cand_geom_np]
+    dofmask_cand = body_dof[jnp.asarray(cand_body_np)]        # (P,nv) static
+    mu_cand = jnp.maximum(
+        model.geom_friction[cand_geom_np, 0], model.floor_friction[0]
+    )                                                          # (P,)
+    invw_cand = model.body_invweight0[cand_body_np, 0]         # (P,)
+
     score = jnp.where(cand_active, -dist, -_BIG)
     cval, csel = top_k_pad(score, MAX_CONTACTS)
-    c_dist = dist[csel]
-    c_pos = con_pos[csel]
-    c_geom = cand_geom[csel]
-    c_active = cand_active[csel] & (cval > -_BIG / 2)
-    c_margin = incmargin[csel]
-    c_cap = cand_cap[csel]
-    c_axis = cand_axis[csel]
-    c_body = jnp.asarray(np.asarray(model.geom_body, np.int32))[c_geom]
+    sel_oh = (csel[:, None] == jnp.arange(dist.shape[0])[None, :]).astype(dtype)
+    c_dist = sel_oh @ dist
+    c_pos = sel_oh @ con_pos
+    c_geom = cand_geom[csel]  # (C,) int32, EFC diagnostics only
+    c_active = ((sel_oh @ cand_active.astype(dtype)) > 0.5) & (cval > -_BIG / 2)
+    c_margin = sel_oh @ incmargin
+    c_cap = sel_oh @ cand_cap.astype(dtype)
+    c_axis = sel_oh @ cand_axis
 
     # constraint jacobians: rows n +- mu t for t in {t1, t2}. The tangent
     # frame on the z=0 plane is GEOM-DEPENDENT in MuJoCo: plane-box and
@@ -278,7 +292,7 @@ def make_efc(
         jnp.cross(jnp.broadcast_to(n, t1_cap.shape), t1_cap),
         jnp.asarray([-1.0, 0.0, 0.0], dtype=dtype)[None, :],
     )
-    mu = jnp.maximum(model.geom_friction[c_geom, 0], model.floor_friction[0])
+    mu = sel_oh @ mu_cand
     dirs = (
         n[None, None, :]
         + jnp.stack([t1, -t1, t2, -t2], axis=1) * mu[:, None, None]
@@ -288,7 +302,7 @@ def make_efc(
     #          = S[v] . [pos[c] x dir[c,k]; dir[c,k]] * mask[c,v]
     # (scalar triple product) — one (4C,6)x(6,nv) MXU matmul instead of the
     # (C,nv,3) point-jacobian intermediate (42x tile padding on the 3-axis)
-    dofmask = body_dof[c_body]  # (C,nv)
+    dofmask = sel_oh @ dofmask_cand  # (C,nv)
     W6 = jnp.concatenate(
         [jnp.cross(jnp.broadcast_to(c_pos[:, None, :], dirs.shape), dirs), dirs],
         axis=-1,
@@ -306,7 +320,7 @@ def make_efc(
 
     mu_hat = jnp.maximum(mu, 1.0)
     diag_approx = (
-        model.body_invweight0[c_body, 0]
+        (sel_oh @ invw_cand)
         * 2.0 * mu_hat**2 * (1.0 + mu_hat**2)
     )
     c_R = ((1.0 - c_imp) / c_imp * diag_approx)[:, None].repeat(4, axis=1)
@@ -319,7 +333,13 @@ def make_efc(
         sc.normal[:, None, :]
         + jnp.stack([st1, -st1, st2, -st2], axis=1) * s_mu[:, None, None]
     )  # (S,4,3)
-    relmask = body_dof[sc.body2] - body_dof[sc.body1]  # (S,nv)
+    # body-indexed rows via one-hot matmuls over the (J,nv)/(J,) tables:
+    # sc.body1/body2 are dynamic (culls + depth top-k), and batched row
+    # gathers serialize on TPU
+    nbody = body_dof.shape[0]
+    b1_oh = (sc.body1[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+    b2_oh = (sc.body2[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+    relmask = (b2_oh - b1_oh) @ body_dof  # (S,nv)
     W6_s = jnp.concatenate(
         [jnp.cross(jnp.broadcast_to(sc.pos[:, None, :], s_dirs.shape), s_dirs),
          s_dirs],
@@ -335,7 +355,7 @@ def make_efc(
     s_aref = -cB * s_vel - (cK * s_imp * s_x)[:, None]
     s_muhat = jnp.maximum(s_mu, 1.0)
     s_diag = (
-        (model.body_invweight0[sc.body1, 0] + model.body_invweight0[sc.body2, 0])
+        ((b1_oh + b2_oh) @ model.body_invweight0[:, 0])
         * 2.0 * s_muhat**2 * (1.0 + s_muhat**2)
     )
     s_R = ((1.0 - s_imp) / s_imp * s_diag)[:, None].repeat(4, axis=1)
