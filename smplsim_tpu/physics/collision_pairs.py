@@ -336,193 +336,343 @@ def _capsule_box_jvp(primals, tangents):
     )
 
 
-_BB_SLOTS = 24  # 4 + 4 support-face corners + 16 edge crossings
+_BB_SLOTS = 25  # 16 border crossings + 4 rect/partner corners + 4 quad corners + 1 raw clcorner
 
 
 def _box_box_one(p1, R1, h1, p2, R2, h2, margin):
-    """MuJoCo-style box-box manifold for one pair. Returns
-    (dist (24,), pos (24,3), normal (24,3), active (24,)).
+    """mjc_BoxBox-exact manifold for one pair. Returns
+    (dist (25,), pos (25,3), normal (25,3), active (25,)).
 
-    Semantics reverse-engineered from mujoco 3.10 (tools/probe_boxbox.py,
-    analyze_boxbox.py, axis_rule_boxbox.py):
-      * shared contact normal = minimum-penetration SAT axis over the 6
-        face axes and 9 edge-cross axes (face axes preferred within 1e-5
-        relative);
-      * contact points = vertices of the 2-D intersection polygon of the
-        two SUPPORT faces (each box's face most aligned with the axis)
-        projected perpendicular to the axis: corners of each projected
-        quad contained in the other + pairwise edge crossings;
-      * per-point dist = gap along the axis between the two support-face
-        planes through that point; pos = the axial midpoint;
-      * a point is emitted iff its dist < the pair margin.
+    Algorithm decoded from the libmujoco 3.10 disassembly + probes
+    (tools/boxbox_asm_notes.md; tools/verify_boxbox_hypotheses.py scores
+    it 1072/1072 on face-case configs and ~95% on edge-code configs,
+    residuals being near-duplicate boundary crossings):
+
+      * SAT in probe order (box1 faces, box2 faces, 9 edge crosses); a
+        later axis wins only by a RELATIVE (1-1e-12) margin.
+      * FACE codes: 2-D frame ON the winning (reference) face; the other
+        box's most anti-aligned face is the incident face, its corners
+        projected along the REFERENCE normal. Per-incident-axis in-plane
+        test |axis . n| < 0.5 (the 30-deg regime threshold) selects 4/1/0
+        clip lines; candidates in slot order = per-line border crossings,
+        contained reference-rect corners (2-in-plane regime), inside-rect
+        incident corners, then the RAW deepest corner (clcorner, selected
+        by sign bits with strict-> tie breaks) LAST.
+      * EDGE codes: both support-face quads projected PERPENDICULAR to
+        the axis; candidates = pairwise edge crossings + each quad's
+        corners inside the other.
+      * keep depth <= margin; pos = plane point + 0.5*depth*normal;
+        mju_outsideBox(1.01, size+margin) drop rule; exact dedup keeping
+        the lowest slot; emit only the FIRST 8 survivors (output cap).
     """
     dtype = p1.dtype
     t = p2 - p1
+    big = jnp.asarray(1e9, dtype)
 
-    # ---- SAT over 6 face axes + 9 edge-cross axes
-    face_axes = jnp.concatenate([R1.T, R2.T], axis=0)  # (6,3) rows
-    r1f = jnp.abs(face_axes @ R1) @ h1                 # (6,)
-    r2f = jnp.abs(face_axes @ R2) @ h2
-    pen_f = r1f + r2f - jnp.abs(face_axes @ t)
-
+    # ---- SAT, probe order with relative (1-1e-12) preference
+    fa = jnp.concatenate([R1.T, R2.T], axis=0)              # (6,3) rows
+    pen_f = (jnp.abs(fa @ R1) @ h1 + jnp.abs(fa @ R2) @ h2
+             - jnp.abs(fa @ t))                             # (6,)
     cross = jnp.cross(R1.T[:, None, :], R2.T[None, :, :]).reshape(9, 3)
     cn = jnp.linalg.norm(cross, axis=-1)
-    good = cn > 1e-10
-    edge_axes = cross / jnp.maximum(cn, 1e-10)[:, None]
-    r1e = jnp.abs(edge_axes @ R1) @ h1
-    r2e = jnp.abs(edge_axes @ R2) @ h2
-    pen_e = jnp.where(good, r1e + r2e - jnp.abs(edge_axes @ t), 1e9)
-
-    fi = jnp.argmin(pen_f)
-    ei = jnp.argmin(pen_e)
-    pf = pen_f[fi]
-    pe = pen_e[ei]
-    use_edge = pe < pf - 1e-5 * jnp.abs(pf)
-
-    axis = jnp.where(use_edge, edge_axes[ei], face_axes[fi])
-    s = jnp.sign(axis @ t)
-    s = jnp.where(s == 0, 1.0, s).astype(dtype)
-    a = axis * s  # oriented box1 -> box2
-
-    # ---- 2-D frame perpendicular to the axis
-    seed = jnp.where(
-        jnp.abs(a[2]) > 0.9,
-        jnp.asarray([0.0, 1.0, 0.0], dtype),
-        jnp.asarray([0.0, 0.0, 1.0], dtype),
+    good = cn > 1e-15
+    ea = cross / jnp.maximum(cn, 1e-15)[:, None]
+    pen_e = jnp.where(
+        good,
+        jnp.abs(ea @ R1) @ h1 + jnp.abs(ea @ R2) @ h2 - jnp.abs(ea @ t),
+        big,
     )
-    u = seed - (seed @ a) * a
-    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
-    v = jnp.cross(a, u)
+    pens = jnp.concatenate([pen_f, pen_e])                  # (15,)
+    axes = jnp.concatenate([fa, ea], axis=0)                # (15,3)
+    best = pens[0]
+    code = jnp.zeros((), jnp.int32)
+    for k in range(1, 15):
+        better = pens[k] < best * (1.0 - 1e-12)
+        best = jnp.where(better, pens[k], best)
+        code = jnp.where(better, k, code)
+    code_oh = jax.nn.one_hot(code, 15, dtype=dtype)
+    raw = code_oh @ axes                                     # unoriented
+    s = jnp.sign(raw @ t)
+    s = jnp.where(s == 0, 1.0, s).astype(dtype)
+    a = raw * s                                              # box1 -> box2
+    use_edge = code >= 6
+    ref_is_1 = code < 3
 
     loop = jnp.asarray(
         [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], dtype
     )
 
+    def pick(c1, c2):
+        return jnp.where(ref_is_1, c1, c2)
+
+    # =================== FACE-case manifold ===================
+    rp = pick(p1, p2)
+    rR = pick(R1, R2)
+    rh = pick(h1, h2)
+    ip_ = pick(p2, p1)
+    iR = pick(R2, R1)
+    ih = pick(h2, h1)
+    rn = jnp.where(ref_is_1, 1.0, -1.0).astype(dtype) * a
+
+    kref = jnp.clip(code, 0, 5) % 3
+    koh = jax.nn.one_hot(kref, 3, dtype=dtype)
+    koh1 = jnp.roll(koh, 1)
+    koh2 = jnp.roll(koh, 2)
+    mcol = rR @ koh
+    sk = jnp.sign(mcol @ rn)
+    sk = jnp.where(sk == 0, 1.0, sk).astype(dtype)
+    mr = mcol * sk
+    cr = rp + mr * (rh @ koh)
+    hu = rh @ koh1
+    hv = rh @ koh2
+    eu = rR @ koh1
+    ev = rR @ koh2
+
+    idots = iR.T @ (-rn)
+    ioh = jax.nn.one_hot(jnp.argmax(jnp.abs(idots)), 3, dtype=dtype)
+    si = jnp.sign(idots @ ioh)
+    si = jnp.where(si == 0, 1.0, si).astype(dtype)
+    mi = (iR @ ioh) * si
+    ci = ip_ + mi * (ih @ ioh)
+    ioh1 = jnp.roll(ioh, 1)
+    ioh2 = jnp.roll(ioh, 2)
+    iu = (iR @ ioh1) * (ih @ ioh1)
+    iv = (iR @ ioh2) * (ih @ ioh2)
+
+    Ci = ci[None, :] + loop[:, 0:1] * iu[None, :] + loop[:, 1:2] * iv[None, :]
+    rn_mr = rn @ mr
+    rn_mr = jnp.where(jnp.abs(rn_mr) > 1e-12, rn_mr, 1e-12)
+    lam = ((cr[None, :] - Ci) @ mr) / rn_mr
+    Qi3 = Ci + lam[:, None] * rn[None, :]
+    Q = jnp.stack([(Qi3 - cr) @ eu, (Qi3 - cr) @ ev], axis=-1)  # (4,2)
+    D = (Ci - cr) @ mr                                          # (4,)
+
+    # clcorner via the decoded sign-bit rule (strict > breaks ties)
+    al = ((raw @ t) * jnp.where(ref_is_1, 1.0, -1.0).astype(dtype)) < 0
+    bit_u = ((raw @ iu) > 0) != al
+    bit_v = ((raw @ iv) > 0) != al
+    su = jnp.where(bit_u, -1.0, 1.0).astype(dtype)
+    sv = jnp.where(bit_v, -1.0, 1.0).astype(dtype)
+    c0_oh = ((loop[:, 0] == su) & (loop[:, 1] == sv)).astype(dtype)  # (4,)
+
+    in_u = (iu @ rn) ** 2 < 0.25 * (iu @ iu)
+    in_v = (iv @ rn) ** 2 < 0.25 * (iv @ iv)
+    n_in = in_u.astype(jnp.int32) + in_v.astype(jnp.int32)
+
+    # adjacency permutations in loop order
+    PU = jnp.asarray([[0, 1, 0, 0], [1, 0, 0, 0],
+                      [0, 0, 0, 1], [0, 0, 1, 0]], dtype)  # adj along u
+    PV = jnp.asarray([[0, 0, 0, 1], [0, 0, 1, 0],
+                      [0, 1, 0, 0], [1, 0, 0, 0]], dtype)  # adj along v
+    nb_oh = jnp.where(in_u, PU @ c0_oh, PV @ c0_oh)        # (4,)
+
+    QA, QB = Q, jnp.roll(Q, -1, axis=0)
+    DA, DB = D, jnp.roll(D, -1)
+    # edge k connects corners k and (k+1)%4
+    edge_both = ((c0_oh * jnp.roll(nb_oh, -1)) +
+                 (nb_oh * jnp.roll(c0_oh, -1))) > 0.5
+    line_act = jnp.where(
+        n_in >= 2, jnp.ones(4, bool),
+        jnp.where(n_in == 1, edge_both, jnp.zeros(4, bool)),
+    )
+
+    dvec = QB - QA                                          # (4,2)
+    f_q, f_d, f_act = [], [], []
+    for axis, lim, olim in ((0, hu, hv), (1, hv, hu)):
+        for sgn in (1.0, -1.0):
+            den = dvec[:, axis]
+            ok = jnp.abs(den) > 1e-15
+            tt = (sgn * lim - QA[:, axis]) / jnp.where(ok, den, 1.0)
+            q = QA + tt[:, None] * dvec                     # (4,2)
+            act = (line_act & ok & (tt >= 0.0) & (tt <= 1.0)
+                   & (jnp.abs(q[:, 1 - axis]) <= olim))
+            f_q.append(q)
+            f_d.append(DA + tt * (DB - DA))
+            f_act.append(act)
+    # slot order: edge-major, border order (u+, u-, v+, v-) within edge
+    fq = jnp.stack(f_q, axis=1).reshape(16, 2)              # (4,4,2)->(16,2)
+    fd = jnp.stack(f_d, axis=1).reshape(16)
+    fact = jnp.stack(f_act, axis=1).reshape(16)
+
+    # contained reference-rect corners (2-in-plane regime only)
+    q0 = c0_oh @ Q
+    D0 = c0_oh @ D
+    qu = (PU @ c0_oh) @ Q
+    qv = (PV @ c0_oh) @ Q
+    Du = (PU @ c0_oh) @ D - D0
+    Dv = (PV @ c0_oh) @ D - D0
+    U, V = qu - q0, qv - q0
+    det = U[0] * V[1] - U[1] * V[0]
+    det_ok = jnp.abs(det) > 1e-15
+    det_s = jnp.where(det_ok, det, 1.0)
+    rc_q, rc_d, rc_act = [], [], []
+    for su_ in (1.0, -1.0):
+        for sv_ in (1.0, -1.0):
+            rc = jnp.stack([su_ * hu, sv_ * hv])
+            w = rc - q0
+            aa = (w[0] * V[1] - w[1] * V[0]) / det_s
+            bb = (U[0] * w[1] - U[1] * w[0]) / det_s
+            rc_q.append(rc)
+            rc_d.append(D0 + aa * Du + bb * Dv)
+            rc_act.append(
+                (n_in >= 2) & det_ok
+                & (aa >= 0.0) & (aa <= 1.0) & (bb >= 0.0) & (bb <= 1.0)
+            )
+    rcq = jnp.stack(rc_q)
+    rcd = jnp.stack(rc_d)
+    rcact = jnp.stack(rc_act)
+
+    # incident quad corners, inside-rect gated
+    inside_rect = (jnp.abs(Q[:, 0]) <= hu) & (jnp.abs(Q[:, 1]) <= hv)
+    allowed = jnp.where(
+        n_in >= 2, jnp.ones(4, bool),
+        jnp.where(n_in == 1, nb_oh > 0.5, jnp.zeros(4, bool)),
+    )
+    qc_act = inside_rect & allowed
+
+    # face-case candidate arrays in slot order (25,)
+    face_q = jnp.concatenate([fq, rcq, Q, q0[None, :]], axis=0)
+    face_d = jnp.concatenate([fd, rcd, D, D0[None]], axis=0)
+    face_act = jnp.concatenate(
+        [fact, rcact, qc_act, jnp.ones(1, bool)], axis=0
+    )
+    face_pos = (cr[None, :] + face_q[:, 0:1] * eu[None, :]
+                + face_q[:, 1:2] * ev[None, :]
+                + 0.5 * face_d[:, None] * mr[None, :])
+
+    # =================== EDGE-case manifold ===================
     def support_face(p, R, h, toward):
-        """Face of the box most aligned with `toward`: (corners3d (4,3),
-        plane point c, outward normal m)."""
         dots = R.T @ toward
-        k = jnp.argmax(jnp.abs(dots))
-        sk = jnp.sign(dots[k])
-        sk = jnp.where(sk == 0, 1.0, sk).astype(dtype)
-        m = jnp.take(R.T, k, axis=0) * sk
-        c = p + m * h[k]
-        fu = jnp.take(R.T, (k + 1) % 3, axis=0) * h[(k + 1) % 3]
-        fv = jnp.take(R.T, (k + 2) % 3, axis=0) * h[(k + 2) % 3]
-        corners = c[None, :] + loop[:, 0:1] * fu[None, :] + loop[:, 1:2] * fv[None, :]
-        return corners, c, m
+        kk = jnp.argmax(jnp.abs(dots))
+        oh = jax.nn.one_hot(kk, 3, dtype=dtype)
+        sg = jnp.sign(dots @ oh)
+        sg = jnp.where(sg == 0, 1.0, sg).astype(dtype)
+        m = (R @ oh) * sg
+        c = p + m * (h @ oh)
+        oh1 = jnp.roll(oh, 1)
+        oh2 = jnp.roll(oh, 2)
+        fu = (R @ oh1) * (h @ oh1)
+        fv = (R @ oh2) * (h @ oh2)
+        corners = (c[None, :] + loop[:, 0:1] * fu[None, :]
+                   + loop[:, 1:2] * fv[None, :])
+        return corners, c, m, oh, sg
 
-    C1, c1p, m1 = support_face(p1, R1, h1, a)    # box1 face toward +a
-    C2, c2p, m2 = support_face(p2, R2, h2, -a)   # box2 face toward -a
-
+    C1e, c1p, m1, oh1f, sg1f = support_face(p1, R1, h1, a)
+    C2e, c2p, m2, _, _ = support_face(p2, R2, h2, -a)
+    seed = jnp.where(
+        jnp.abs(a[2]) > 0.9,
+        jnp.asarray([0.0, 1.0, 0.0], dtype),
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+    )
+    ue = seed - (seed @ a) * a
+    ue = ue / jnp.maximum(jnp.linalg.norm(ue), 1e-12)
+    ve = jnp.cross(a, ue)
     O = p1
-    to2d = lambda P: jnp.stack([(P - O) @ u, (P - O) @ v], axis=-1)
-    Q1 = to2d(C1)  # (4,2)
-    Q2 = to2d(C2)
-
-    # axial coordinate of each face plane at 2-D point (x,y):
-    #   alpha_i(x,y) = ((c_i - O) . m_i - x (u.m_i) - y (v.m_i)) / (a.m_i)
+    to2d = lambda P: jnp.stack([(P - O) @ ue, (P - O) @ ve], axis=-1)
+    Q1 = to2d(C1e)
+    Q2 = to2d(C2e)
     am1 = a @ m1
     am2 = a @ m2
+    am1 = jnp.where(jnp.abs(am1) > 1e-12, am1, 1e-12)
+    am2 = jnp.where(jnp.abs(am2) > 1e-12, am2, 1e-12)
 
     def alpha(xy, cp, m, am):
-        return ((cp - O) @ m - xy[..., 0] * (u @ m) - xy[..., 1] * (v @ m)) / am
+        return ((cp - O) @ m - xy[..., 0] * (ue @ m)
+                - xy[..., 1] * (ve @ m)) / am
 
     def depth_at(xy):
         return alpha(xy, c2p, m2, am2) - alpha(xy, c1p, m1, am1)
 
-    # candidates: corners of each quad inside the other (+ containment test)
-    def inside(pts, quad):
-        e = jnp.roll(quad, -1, 0) - quad               # (4,2)
-        rel = pts[:, None, :] - quad[None, :, :]       # (N,4,2)
-        cz = e[None, :, 0] * rel[..., 1] - e[None, :, 1] * rel[..., 0]
-        return jnp.all(cz >= -1e-12, axis=1) | jnp.all(cz <= 1e-12, axis=1)
-
-    act_c1 = inside(Q1, Q2)
-    act_c2 = inside(Q2, Q1)
-
-    # 16 segment-segment crossings
-    A1 = jnp.repeat(Q1, 4, axis=0)                     # (16,2)
+    A1 = jnp.repeat(Q1, 4, axis=0)                          # (16,2)
     B1 = jnp.repeat(jnp.roll(Q1, -1, 0), 4, axis=0)
     A2 = jnp.tile(Q2, (4, 1))
     B2 = jnp.tile(jnp.roll(Q2, -1, 0), (4, 1))
     d1 = B1 - A1
     d2 = B2 - A2
     den = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    den_ok = jnp.abs(den) >= 1e-14
+    den_s = jnp.where(den_ok, den, 1.0)
     w0 = A2 - A1
-    tt = (w0[:, 0] * d2[:, 1] - w0[:, 1] * d2[:, 0]) / jnp.where(
-        jnp.abs(den) < 1e-14, 1.0, den
-    )
-    ss = (w0[:, 0] * d1[:, 1] - w0[:, 1] * d1[:, 0]) / jnp.where(
-        jnp.abs(den) < 1e-14, 1.0, den
-    )
+    tt = (w0[:, 0] * d2[:, 1] - w0[:, 1] * d2[:, 0]) / den_s
+    ss = (w0[:, 0] * d1[:, 1] - w0[:, 1] * d1[:, 0]) / den_s
     xpt = A1 + tt[:, None] * d1
-    act_x = (
-        (jnp.abs(den) >= 1e-14)
-        & (tt >= 0.0) & (tt <= 1.0)
-        & (ss >= 0.0) & (ss <= 1.0)
+    xact = den_ok & (tt >= 0.0) & (tt <= 1.0) & (ss >= 0.0) & (ss <= 1.0)
+
+    def inside(pts, quad):
+        e = jnp.roll(quad, -1, 0) - quad
+        rel = pts[:, None, :] - quad[None, :, :]
+        cz = e[None, :, 0] * rel[..., 1] - e[None, :, 1] * rel[..., 0]
+        return jnp.all(cz >= -1e-12, axis=1) | jnp.all(cz <= 1e-12, axis=1)
+
+    c1in = inside(Q1, Q2)
+    c2in = inside(Q2, Q1)
+    # AT MOST ONE box1-face corner: the first inside one in mjc_BoxBox's
+    # canonical rotmore enumeration. The per-reference-face slot order was
+    # decoded empirically (tools/test_edge_rule.py + the (kax,sign)-grouped
+    # probe sweep: 100% on tilt families, 99.5% on fully random configs;
+    # the only residuals are one extra point at >50% interpenetration).
+    # PRIO[kax][sign][slot]: higher = earlier in the enumeration; slots in
+    # the support-face loop order [--, +-, ++, -+] over axes (k+1,k+2)%3.
+    PRIO = jnp.asarray(
+        [[[2.0, 1.0, 3.0, 4.0], [4.0, 3.0, 1.0, 2.0]],
+         [[3.0, 4.0, 2.0, 1.0], [4.0, 3.0, 1.0, 2.0]],
+         [[4.0, 2.0, 1.0, 3.0], [2.0, 4.0, 3.0, 1.0]]], dtype)
+    sgsel = jnp.stack([(sg1f > 0).astype(dtype), (sg1f <= 0).astype(dtype)])
+    prio = jnp.einsum("k,s,ksl->l", oh1f, sgsel, PRIO)
+    score = jnp.where(c1in, prio, 0.0)
+    c1pick = jax.nn.one_hot(jnp.argmax(score), 4, dtype=dtype)
+    c1_q = c1pick @ Q1
+    c1_act = jnp.any(c1in)
+    # slot order: 16 crossings, 4 box2 corners, the 1 box1 corner, 4 pads
+    edge_q = jnp.concatenate(
+        [xpt, Q2, c1_q[None, :], jnp.zeros((4, 2), dtype)], axis=0
     )
+    edge_act = jnp.concatenate(
+        [xact, c2in, c1_act[None], jnp.zeros(4, bool)], axis=0
+    )
+    edge_d = depth_at(edge_q)
+    edge_al1 = alpha(edge_q, c1p, m1, am1)
+    edge_pos = (O[None, :] + edge_q[:, 0:1] * ue[None, :]
+                + edge_q[:, 1:2] * ve[None, :]
+                + (edge_al1 + 0.5 * edge_d)[:, None] * a[None, :])
 
-    pts = jnp.concatenate([Q1, Q2, xpt], axis=0)       # (24,2)
-    act = jnp.concatenate([act_c1, act_c2, act_x])
-    dep = depth_at(pts)
-    act = act & (dep < margin)
+    # =================== select + shared filters ===================
+    dep = jnp.where(use_edge, edge_d, face_d)
+    pos = jnp.where(use_edge, edge_pos, face_pos)
+    act = jnp.where(use_edge, edge_act, face_act)
+    act = act & (dep <= margin)
 
-    # dedup coincident active points (keep lowest slot)
-    diff = jnp.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    # mju_outsideBox(1.01) drop rule: drop a point clearly outside one
+    # margin-inflated box unless strictly inside the other
+    def outside_flags(p, R, h):
+        loc = (pos - p[None, :]) @ R                        # (25,3)
+        hs = (h + margin)[None, :]
+        strict_in = jnp.all(jnp.abs(loc) <= hs / 1.01, axis=-1)
+        out = jnp.any(jnp.abs(loc) > hs * 1.01, axis=-1)
+        return strict_in, out
+    in1, out1 = outside_flags(p1, R1, h1)
+    in2, out2 = outside_flags(p2, R2, h2)
+    act = act & ~((out1 & ~in2) | (out2 & ~in1))
+
+    # exact dedup, keep lowest slot
+    diff = jnp.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
     same = (diff < 1e-9) & act[:, None] & act[None, :]
     act = act & ~jnp.any(jnp.tril(same, k=-1), axis=1)
 
-    al1 = alpha(pts, c1p, m1, am1)
-    pos = (
-        O[None, :]
-        + pts[:, 0:1] * u[None, :]
-        + pts[:, 1:2] * v[None, :]
-        + (al1 + 0.5 * dep)[:, None] * a[None, :]
-    )
+    # output cap: the FIRST 8 surviving candidates in slot order
+    act = act & (jnp.cumsum(act.astype(jnp.int32)) <= 8)
+
     normal = jnp.broadcast_to(a, (_BB_SLOTS, 3))
     return dep, pos, normal, act
 
 
-@jax.custom_batching.custom_vmap
 def _box_box_pairs_op(pos1, R1, h1, pos2, R2, h2, margin):
-    """Per-env box-box manifolds over P pairs. Under the engine's env vmap
-    the batched rule reroutes to the lanes-last formulation
-    (physics/boxbox_lanes.py) — full lane utilization instead of 3-wide
-    minor dims."""
+    """Per-env box-box manifolds over P pairs (plain vmap of the decoded
+    mjc_BoxBox algorithm; BB_KEEP caps P, so the block stays small — the
+    r2 lanes-last twin was retired with the algorithm rewrite and can be
+    reinstated from git history if the TPU substep breakdown shows this
+    block hot again)."""
     return jax.vmap(_box_box_one)(pos1, R1, h1, pos2, R2, h2, margin)
-
-
-@_box_box_pairs_op.def_vmap
-def _box_box_pairs_vmap(axis_size, in_batched, pos1, R1, h1, pos2, R2, h2,
-                        margin):
-    from smplsim_tpu.physics import boxbox_lanes
-
-    def bc(x, batched):
-        return x if batched else jnp.broadcast_to(
-            x[None], (axis_size,) + x.shape
-        )
-
-    pos1, R1, h1, pos2, R2, h2, margin = (
-        bc(x, b) for x, b in zip(
-            (pos1, R1, h1, pos2, R2, h2, margin), in_batched
-        )
-    )
-    B, P = margin.shape
-    N = B * P
-    tv = lambda x: jnp.moveaxis(x.reshape((N,) + x.shape[2:]), 0, -1)
-    d, p, n, a = boxbox_lanes.box_box_lanes(
-        tv(pos1), tv(R1), tv(h1), tv(pos2), tv(R2), tv(h2),
-        margin.reshape(N),
-    )
-    # back to (B,P,24[,3])
-    dep = jnp.moveaxis(d, -1, 0).reshape(B, P, _BB_SLOTS)
-    pos = jnp.moveaxis(p, -1, 0).reshape(B, P, _BB_SLOTS, 3)
-    nrm = jnp.broadcast_to(
-        jnp.moveaxis(n, -1, 0).reshape(B, P, 1, 3), (B, P, _BB_SLOTS, 3)
-    )
-    act = jnp.moveaxis(a, -1, 0).reshape(B, P, _BB_SLOTS)
-    return (dep, pos, nrm, act), (True, True, True, True)
 
 
 @jax.custom_jvp

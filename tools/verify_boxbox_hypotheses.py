@@ -192,6 +192,208 @@ def manifold_variant(variant, p1, R1, h1, p2, R2, h2, margin, final_filter):
     return ded
 
 
+def edge_contact(p1, R1, h1, p2, R2, h2, margin, code, a, pen):
+    """Edge-edge branch (code >= 12): one contact at the closest-point
+    midpoint of the two witness edges, dist = -penetration."""
+    i, j = divmod(code - 12, 3)
+    # witness edge on box k: the edge along axis i whose other two
+    # coordinates are at the support corner toward +-a
+    def edge(p, R, h, axis_i, toward):
+        o = p.copy()
+        for k in range(3):
+            if k == axis_i:
+                continue
+            s = np.sign(R[:, k] @ toward) or 1.0
+            o = o + s * R[:, k] * h[k]
+        return o - R[:, axis_i] * h[axis_i], o + R[:, axis_i] * h[axis_i]
+    a1, b1 = edge(p1, R1, h1, i, a)
+    a2, b2 = edge(p2, R2, h2, j, -a)
+    d1, d2 = b1 - a1, b2 - a2
+    r = a2 - a1
+    A = d1 @ d1
+    B = d1 @ d2
+    C = d2 @ d2
+    D = d1 @ r
+    E = d2 @ r
+    den = A * C - B * B
+    t = np.clip((D * C - B * E) / den, 0, 1) if abs(den) > 1e-15 else 0.5
+    s = np.clip((B * t - E) / C, 0, 1)
+    c1 = a1 + t * d1
+    c2 = a2 + s * d2
+    return [(-pen, 0.5 * (c1 + c2))]
+
+
+# Decoded canonical corner-enumeration order per (box1 support-face axis,
+# sign): the edge branch emits AT MOST ONE box1-face corner — the first
+# inside-the-other-quad corner in mjc_BoxBox's rotmore enumeration. Slots
+# are the support-face loop order [--, +-, ++, -+] over axes (k+1,k+2)%3.
+# Fitted on (kax,sign)-grouped probe sweeps (12k random configs, zero
+# intra-class contradictions); scores 100% on tilt families and 99.5% on
+# fully random configs (residual: one extra deep point at >50%
+# interpenetration, mechanism undecoded).
+EDGE_C1_ORDER = {
+    (0, 1): [3, 2, 0, 1], (0, -1): [0, 1, 3, 2],
+    (1, 1): [1, 0, 2, 3], (1, -1): [0, 1, 3, 2],
+    (2, 1): [0, 3, 1, 2], (2, -1): [1, 2, 0, 3],
+}
+
+
+def _edge_manifold(p1, R1, h1, p2, R2, h2, margin, a):
+    """Decoded edge-code manifold: both support-face quads projected PERP
+    to the cross axis; candidates = pairwise edge crossings + box2-face
+    corners inside box1's quad + AT MOST ONE box1-face corner (first
+    inside one in the canonical EDGE_C1_ORDER enumeration)."""
+    C1, c1p, m1, u1, v1 = support_face(p1, R1, h1, a)
+    C2, c2p, m2, u2, v2 = support_face(p2, R2, h2, -a)
+    la = R1.T @ a
+    kax = int(np.argmax(np.abs(la)))
+    sk = 1 if la[kax] > 0 else -1
+    order = EDGE_C1_ORDER[(kax, sk)]
+    seed = np.array([0, 1, 0.]) if abs(a[2]) > 0.9 else np.array([0, 0, 1.])
+    u = seed - (seed @ a) * a
+    u /= np.linalg.norm(u)
+    w = np.cross(a, u)
+    O = p1
+    P = lambda x: np.array([(x - O) @ u, (x - O) @ w])
+    q1 = [P(c) for c in C1]
+    q2d = [P(c) for c in C2]
+    am1, am2 = a @ m1, a @ m2
+
+    def alpha(xy, cp, m, am):
+        return ((cp - O) @ m - xy[0] * (u @ m) - xy[1] * (w @ m)) / am
+
+    def depth_at(xy):
+        return alpha(xy, c2p, m2, am2) - alpha(xy, c1p, m1, am1)
+
+    def inside(q, quad):
+        sgn = 0
+        for k in range(4):
+            aq, bq = quad[k], quad[(k + 1) % 4]
+            cz = ((bq[0] - aq[0]) * (q[1] - aq[1])
+                  - (bq[1] - aq[1]) * (q[0] - aq[0]))
+            if abs(cz) < 1e-15:
+                continue
+            s = 1 if cz > 0 else -1
+            if sgn == 0:
+                sgn = s
+            elif s != sgn:
+                return False
+        return True
+
+    pts = []
+    for k in range(4):
+        for l in range(4):
+            a1, b1 = q1[k], q1[(k + 1) % 4]
+            a2, b2 = q2d[l], q2d[(l + 1) % 4]
+            d1, d2 = b1 - a1, b2 - a2
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-14:
+                continue
+            w0 = a2 - a1
+            tt = (w0[0] * d2[1] - w0[1] * d2[0]) / den
+            ss = (w0[0] * d1[1] - w0[1] * d1[0]) / den
+            if 0 <= tt <= 1 and 0 <= ss <= 1:
+                pts.append(a1 + tt * d1)
+    for k in range(4):
+        if inside(q2d[k], q1):
+            pts.append(q2d[k])
+    for k in order:
+        if inside(q1[k], q2d):
+            pts.append(q1[k])
+            break
+    out = []
+    for q in pts:
+        d = depth_at(q)
+        if d > margin:
+            continue
+        al1 = alpha(q, c1p, m1, am1)
+        pos = O + q[0] * u + q[1] * w + (al1 + 0.5 * d) * a
+        r1 = outside_box(pos, p1, R1, h1, margin)
+        r2 = outside_box(pos, p2, R2, h2, margin)
+        if (r1 == 1 and r2 != -1) or (r2 == 1 and r1 != -1):
+            continue
+        out.append((d, pos))
+    ded = []
+    for dth, pos in out:
+        if not any(np.allclose(pos, p, atol=1e-9) for _, p in ded):
+            ded.append((dth, pos))
+    return ded[:8]
+
+
+def _edge_clip_manifold(p1, R1, h1, p2, R2, h2, margin, a):
+    """Superseded polygon heuristic (kept for comparison): both quads'
+    crossings + ALL inside corners of both quads."""
+    C1, c1p, m1, u1, v1 = support_face(p1, R1, h1, a)
+    C2, c2p, m2, u2, v2 = support_face(p2, R2, h2, -a)
+    seed = np.array([0, 1, 0.]) if abs(a[2]) > 0.9 else np.array([0, 0, 1.])
+    u = seed - (seed @ a) * a
+    u /= np.linalg.norm(u)
+    w = np.cross(a, u)
+    O = p1
+    P = lambda x: np.array([(x - O) @ u, (x - O) @ w])
+    q1 = [P(c) for c in C1]
+    q2d = [P(c) for c in C2]
+    am1, am2 = a @ m1, a @ m2
+
+    def alpha(xy, cp, m, am):
+        return ((cp - O) @ m - xy[0] * (u @ m) - xy[1] * (w @ m)) / am
+
+    def depth_at(xy):
+        return alpha(xy, c2p, m2, am2) - alpha(xy, c1p, m1, am1)
+
+    def inside(q, quad):
+        sgn = 0
+        for k in range(4):
+            aq, bq = quad[k], quad[(k + 1) % 4]
+            cz = (bq[0] - aq[0]) * (q[1] - aq[1]) - (bq[1] - aq[1]) * (q[0] - aq[0])
+            if abs(cz) < 1e-15:
+                continue
+            s = 1 if cz > 0 else -1
+            if sgn == 0:
+                sgn = s
+            elif s != sgn:
+                return False
+        return True
+
+    pts = []
+    for k in range(4):
+        for l in range(4):
+            a1, b1 = q1[k], q1[(k + 1) % 4]
+            a2, b2 = q2d[l], q2d[(l + 1) % 4]
+            d1 = b1 - a1
+            d2 = b2 - a2
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-14:
+                continue
+            w0 = a2 - a1
+            tt = (w0[0] * d2[1] - w0[1] * d2[0]) / den
+            ss = (w0[0] * d1[1] - w0[1] * d1[0]) / den
+            if 0 <= tt <= 1 and 0 <= ss <= 1:
+                pts.append(a1 + tt * d1)
+    for k in range(4):
+        if inside(q1[k], q2d):
+            pts.append(q1[k])
+        if inside(q2d[k], q1):
+            pts.append(q2d[k])
+    out = []
+    for q in pts:
+        d = depth_at(q)
+        if d > margin:
+            continue
+        al1 = alpha(q, c1p, m1, am1)
+        pos = O + q[0] * u + q[1] * w + (al1 + 0.5 * d) * a
+        r1 = outside_box(pos, p1, R1, h1, margin)
+        r2 = outside_box(pos, p2, R2, h2, margin)
+        if (r1 == 1 and r2 != -1) or (r2 == 1 and r1 != -1):
+            continue
+        out.append((d, pos))
+    ded = []
+    for dth, pos in out:
+        if not any(np.allclose(pos, p, atol=1e-12) for _, p in ded):
+            ded.append((dth, pos))
+    return ded[:8]
+
+
 def manifold_mujoco(p1, R1, h1, p2, R2, h2, margin):
     """Decoded mjc_BoxBox face-case pipeline (tools/boxbox_asm_notes.md):
     per-line border clipping + raw deepest corner + inside-rect quad
@@ -201,7 +403,9 @@ def manifold_mujoco(p1, R1, h1, p2, R2, h2, margin):
     if pen < -margin:
         return []
     if code >= 12:
-        return None  # edge-edge case: separate branch, not scored here
+        if not os.environ.get("BB_EDGES"):
+            return None
+        return _edge_manifold(p1, R1, h1, p2, R2, h2, margin, a)
     ref_is_1 = code < 6
     (rp, rR, rh), (ip_, iR, ih) = (
         ((p1, R1, h1), (p2, R2, h2)) if ref_is_1 else ((p2, R2, h2), (p1, R1, h1))
@@ -230,7 +434,11 @@ def manifold_mujoco(p1, R1, h1, p2, R2, h2, margin):
     # (un-oriented) SAT face axis and al = (raw_axis . t < 0), the corner
     # bit for incident axis j is (raw_axis . col_j > 0) XOR al; the strict
     # ">" fixes the equal-depth ties that argmin breaks the wrong way.
-    raw = rR[:, code % 3] if ref_is_1 else rR[:, code % 3]
+    if code >= 12:
+        i_e, j_e = divmod(code - 12, 3)
+        raw = np.cross(R1[:, i_e], R2[:, j_e])
+    else:
+        raw = rR[:, code % 3]
     al = (raw @ (p2 - p1)) < 0 if ref_is_1 else (raw @ (p1 - p2)) < 0
     def bit(col):
         return ((raw @ col) > 0) != al
