@@ -48,8 +48,15 @@ st = st.replace(task=st.task.replace(
 step = jax.jit(ours.step)
 rng = np.random.RandomState(11)
 worst = 0.0
+import mujoco  # noqa: E402
+
 for t in range(150):
     if t % 15 == 0:
+        # align controller caches: our inject rebuilds (M, C) fresh at the
+        # synced state; the reference's mjData still holds the previous
+        # substep's (stale) qM/qfrc_bias, which its stable-PD reads.
+        # mj_forward refreshes the reference to the same fresh semantics.
+        mujoco.mj_forward(env_ref.mj_model, env_ref.mj_data)
         phys = PhysicsState(
             qpos=jnp.asarray(env_ref.get_qpos().copy()),
             qvel=jnp.asarray(env_ref.get_qvel().copy()),
