@@ -12,6 +12,7 @@ then hinge rates.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -31,14 +32,29 @@ class Kin(NamedTuple):
 
 
 def fk(model: RobotModel, qpos: jax.Array) -> Kin:
-    J = model.nbody
+    """FK dispatch: per-env reference chain below; under the engine's env
+    vmap the custom_vmap rule reroutes the whole batch to the lanes-last
+    formulation (physics/fk_lanes.py) — full lane utilization instead of
+    (B,3,3) batched tiny matmuls."""
+    body_R_local = T.quat_to_matrix(model.body_quat)
+    op = _fk_op_for(tuple(int(p) for p in model.parents))
+    out = op(
+        qpos,
+        jnp.asarray(model.body_pos, qpos.dtype),
+        body_R_local.astype(qpos.dtype),
+        jnp.asarray(model.body_ipos, qpos.dtype),
+        jnp.asarray(model.body_inertia, qpos.dtype),
+    )
+    return Kin(*out)
+
+
+def _fk_one(qpos, body_pos, body_R_local, body_ipos, body_inertia, parents):
+    J = len(parents)
     dtype = qpos.dtype
 
     root_R = T.quat_to_matrix(qpos[3:7])
     hinge = qpos[7:].reshape(J - 1, 3)
     ca, sa = jnp.cos(hinge), jnp.sin(hinge)
-
-    body_R_local = T.quat_to_matrix(model.body_quat)  # (J,3,3), usually identity
 
     xpos = [qpos[0:3]]
     xmat = [root_R]
@@ -46,9 +62,9 @@ def fk(model: RobotModel, qpos: jax.Array) -> Kin:
     axes = []
 
     for b in range(1, J):
-        p = model.parents[b]
+        p = parents[b]
         Rp = xmat[p]
-        pos = xpos[p] + Rp @ model.body_pos[b]
+        pos = xpos[p] + Rp @ body_pos[b]
         F0 = Rp @ body_R_local[b]  # frame before the hinge stack
         i = b - 1
         cx, cy, cz = ca[i, 0], ca[i, 1], ca[i, 2]
@@ -87,11 +103,56 @@ def fk(model: RobotModel, qpos: jax.Array) -> Kin:
 
     S = jnp.concatenate([S_trans, S_rot, S_hinge], axis=0)  # (nv,6)
 
-    com = xpos + jnp.einsum("bij,bj->bi", xmat, model.body_ipos)
+    com = xpos + jnp.einsum("bij,bj->bi", xmat, body_ipos)
     inertia_w = jnp.einsum(
-        "bij,bjk,blk->bil", xmat, model.body_inertia, xmat
+        "bij,bjk,blk->bil", xmat, body_inertia, xmat
     )
-    return Kin(xpos=xpos, xmat=xmat, S=S, com=com, inertia_w=inertia_w)
+    return xpos, xmat, S, com, inertia_w
+
+
+@functools.lru_cache(maxsize=8)
+def _fk_op_for(parents: tuple):
+    """Build the (custom_jvp ∘ custom_vmap) FK op for a topology. Cached per
+    parents tuple so repeated fk() calls reuse one op (and one trace)."""
+
+    @jax.custom_batching.custom_vmap
+    def _fk_core(qpos, body_pos, body_R_local, body_ipos, body_inertia):
+        return _fk_one(
+            qpos, body_pos, body_R_local, body_ipos, body_inertia, parents
+        )
+
+    @_fk_core.def_vmap
+    def _fk_core_vmap(axis_size, in_batched,
+                      qpos, body_pos, body_R_local, body_ipos, body_inertia):
+        from smplsim_tpu.physics import fk_lanes
+
+        def prep(x, batched):
+            # batched leading axis -> lanes-last; shared fields stay as-is
+            return jnp.moveaxis(x, 0, -1) if batched else x
+
+        if not in_batched[0]:
+            qpos = jnp.broadcast_to(qpos, (axis_size,) + qpos.shape)
+            in_batched = (True,) + tuple(in_batched[1:])
+        args = [prep(x, b) for x, b in zip(
+            (qpos, body_pos, body_R_local, body_ipos, body_inertia),
+            in_batched,
+        )]
+        outs = fk_lanes.fk_lanes(*args, parents)
+        outs = tuple(jnp.moveaxis(o, -1, 0) for o in outs)
+        return outs, (True,) * 5
+
+    @jax.custom_jvp
+    def _fk_op(qpos, body_pos, body_R_local, body_ipos, body_inertia):
+        return _fk_core(qpos, body_pos, body_R_local, body_ipos, body_inertia)
+
+    @_fk_op.defjvp
+    def _fk_jvp(primals, tangents):
+        # differentiate the reference path (plain ops) — iLQR jacfwds
+        return jax.jvp(
+            lambda *a: _fk_one(*a, parents), primals, tangents
+        )
+
+    return _fk_op
 
 
 def body_quats(model: RobotModel, qpos: jax.Array) -> jax.Array:

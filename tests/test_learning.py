@@ -95,3 +95,72 @@ def test_dryrun_multichip_8():
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
     ge.dryrun_multichip(8)
+
+
+def test_pnn_progressive_freeze():
+    """PolicyPNN (reference amp_pnn net, im_pnn.yaml): active primitive
+    selection + stop_gradient on earlier columns."""
+    from smplsim_tpu.learning import PolicyPNN
+
+    net = PolicyPNN(action_dim=3, num_primitive=4, widths=(16, 16))
+    obs = jnp.ones((5, 8))
+    params = net.init(jax.random.PRNGKey(0), obs)
+    mean_all, std_all = net.apply(params, obs)
+    assert mean_all.shape == (5, 4, 3) and std_all.shape == (5, 4, 3)
+    mean1, _ = net.apply(params, obs, active=1)
+    assert mean1.shape == (5, 3)
+    np.testing.assert_allclose(
+        np.asarray(mean1), np.asarray(mean_all[:, 1]), atol=1e-6
+    )
+
+    def loss(p):
+        m, _ = net.apply(p, obs, active=2)
+        return jnp.sum(m ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves_with_path(g)
+    for path, leaf in leaves:
+        name = jax.tree_util.keystr(path)
+        nrm = float(jnp.abs(leaf).sum())
+        # top-level modules: MLP_i trunk + Dense_i head per column.
+        # Columns 0-1 are frozen, column 2 trains, column 3 is unused by
+        # active=2.
+        top = name.split("]")[1].strip("['\"")  # after ['params']
+        if top in ("MLP_0", "MLP_1", "MLP_3", "Dense_0", "Dense_1", "Dense_3"):
+            assert nrm == 0.0, (name, nrm)
+        if top in ("MLP_2", "Dense_2"):
+            assert nrm > 0.0, (name, nrm)
+
+
+def test_amp_discriminator_learns_and_rewards():
+    """AMPDiscriminator + LSGAN loss (im.yaml:37-41,84-87) separates two
+    blobs in a few Adam steps; amp_reward is higher for demo-like data."""
+    import optax
+
+    from smplsim_tpu.learning import AMPDiscriminator, amp_disc_loss, amp_reward
+
+    rng = np.random.default_rng(0)
+    demo = jnp.asarray(rng.normal(2.0, 0.4, (256, 6)), jnp.float32)
+    agent = jnp.asarray(rng.normal(-2.0, 0.4, (256, 6)), jnp.float32)
+
+    disc = AMPDiscriminator(widths=(32, 32))
+    params = disc.init(jax.random.PRNGKey(1), demo)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, aux), g = jax.value_and_grad(
+            lambda p: amp_disc_loss(disc.apply, p, agent, demo), has_aux=True
+        )(params)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, aux
+
+    for _ in range(60):
+        params, opt_state, aux = step(params, opt_state)
+    assert float(aux["disc_acc_demo"]) > 0.95
+    assert float(aux["disc_acc_agent"]) > 0.95
+
+    r_demo = amp_reward(disc.apply(params, demo)).mean()
+    r_agent = amp_reward(disc.apply(params, agent)).mean()
+    assert float(r_demo) > float(r_agent)
