@@ -65,6 +65,8 @@ def _patch_mujoco_compat():
     import mujoco
     import numpy as np
 
+    if getattr(mujoco.mj_fullM, "_smplsim_compat", False):
+        return  # already patched (import_reference runs once per test module)
     orig = mujoco.mj_fullM
     try:
         orig(None, None, None)
@@ -78,6 +80,7 @@ def _patch_mujoco_compat():
         assert isinstance(a, np.ndarray) and CURRENT_DATA[0] is not None
         return orig(m, CURRENT_DATA[0], a)
 
+    compat._smplsim_compat = True
     mujoco.mj_fullM = compat
 
 
