@@ -27,9 +27,18 @@ from smplsim_tpu import transforms as T
 from smplsim_tpu.models.spec import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, RobotModel
 from smplsim_tpu.physics.kinematics import Kin
 
+import os as _os
+
 MAX_SELF = 12
-CB_KEEP = 48   # capsule-box pairs surviving the conservative broadphase cull
-BB_KEEP = 16   # box-box pairs surviving the cull
+# Pairs surviving the conservative broadphase cull, per type family. The
+# cull bound is exact (pairs beyond it cannot touch), so narrowphase on the
+# KEEP closest pairs loses contacts only when more than KEEP pairs are
+# simultaneously within margin — the same capped-slots semantics as
+# MAX_SELF (12 total kept contacts). Env overrides exist for calibration
+# and for the tight parity tests (tests set them high via conftest).
+CC_KEEP = int(_os.environ.get("SMPLSIM_CC_KEEP", 24))  # capsule/sphere pairs
+CB_KEEP = int(_os.environ.get("SMPLSIM_CB_KEEP", 16))  # capsule-box pairs
+BB_KEEP = int(_os.environ.get("SMPLSIM_BB_KEEP", 8))   # box-box pairs
 
 
 class SelfContacts(NamedTuple):
@@ -726,13 +735,36 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         g2 = jnp.asarray(pl["cc"][:, 1])
         p1, q1, r1, bb1 = _segment(model, kin, g1)
         p2, q2, r2, bb2 = _segment(model, kin, g2)
+        mu_cc, margin_cc = _combine(model, g1, g2)  # static pair indices
+        if len(pl["cc"]) > CC_KEEP:
+            # conservative bounding-sphere cull (see the cb block below):
+            # segment-center distance minus half-lengths minus radii is a
+            # lower bound on the capsule-capsule distance
+            c1c = 0.5 * (p1 + q1)
+            c2c = 0.5 * (p2 + q2)
+            h1c = 0.5 * jnp.linalg.norm(q1 - p1, axis=-1)
+            h2c = 0.5 * jnp.linalg.norm(q2 - p2, axis=-1)
+            d_low = (
+                jnp.linalg.norm(c1c - c2c, axis=-1) - h1c - h2c - r1 - r2
+            )
+            from smplsim_tpu.physics.constraints import top_k_onehot
+
+            _, koh = top_k_onehot(-d_low, CC_KEEP)
+            keep = (koh @ jnp.arange(d_low.shape[0], dtype=dtype)
+                    ).astype(jnp.int32)
+            gath = lambda x: koh @ x if x.ndim == 1 else jnp.einsum(
+                "kp,pi->ki", koh, x)
+            p1, q1, r1 = gath(p1), gath(q1), gath(r1)
+            p2, q2, r2 = gath(p2), gath(q2), gath(r2)
+            mu_cc, margin_cc = gath(mu_cc), gath(margin_cc)
+            bb1, bb2 = bb1[keep], bb2[keep]
         c1, c2, par = _seg_seg_closest(p1, q1, p2, q2)
         delta = c2 - c1
         gap = jnp.linalg.norm(delta, axis=-1)
         n = delta / jnp.maximum(gap, 1e-12)[..., None]
         dist = gap - r1 - r2
         pos = 0.5 * (c1 + r1[..., None] * n + c2 - r2[..., None] * n)
-        mu, margin = _combine(model, g1, g2)
+        mu, margin = mu_cc, margin_cc
 
         # parallel overlapping capsules: two contacts at the overlap ends
         # (project seg2 endpoints onto seg1's axis, clamp to seg1)
@@ -774,6 +806,7 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         p1, q1, r1, bb1 = _segment(model, kin, g1)
         bpos, bR, bb2 = _geom_world(model, kin, g2)
         half = model.geom_size[g2]
+        mu, margin = _combine(model, g1, g2)  # static pair indices
         # broadphase cull: the narrowphase dominates the substep at batch
         # scale, and a humanoid has at most a handful of capsule-box pairs
         # anywhere near contact. Keep the CB_KEEP closest pairs by a
@@ -789,17 +822,19 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
                 jnp.linalg.norm(center - bpos, axis=-1)
                 - seg_half - r1 - bound
             )
-            from smplsim_tpu.physics.constraints import top_k_pad
+            from smplsim_tpu.physics.constraints import top_k_onehot
 
-            _, keep = top_k_pad(-d_low, CB_KEEP)
-            p1, q1, r1, bb1 = p1[keep], q1[keep], r1[keep], bb1[keep]
-            bpos, bR, bb2 = bpos[keep], bR[keep], bb2[keep]
-            half = half[keep]
-            g1, g2 = g1[keep], g2[keep]
+            _, koh = top_k_onehot(-d_low, CB_KEEP)
+            keep = (koh @ jnp.arange(d_low.shape[0], dtype=dtype)
+                    ).astype(jnp.int32)
+            gath = lambda x: jnp.einsum("kp,p...->k...", koh, x)
+            p1, q1, r1 = gath(p1), gath(q1), gath(r1)
+            bpos, bR, half = gath(bpos), gath(bR), gath(half)
+            mu, margin = gath(mu), gath(margin)
+            bb1, bb2 = bb1[keep], bb2[keep]
         # to box frame
         to_local = lambda x: jnp.einsum("...ji,...j->...i", bR, x - bpos)
         lp, lq = to_local(p1), to_local(q1)
-        mu, margin = _combine(model, g1, g2)
         d_cb, p_cb, n_cb = capsule_box_op(lp, lq, half, r1)
         # back to world
         p_w = bpos[..., None, :] + jnp.einsum("...ij,...kj->...ki", bR, p_cb)
@@ -821,22 +856,27 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
     if len(pl["bb"]):
         g1 = jnp.asarray(pl["bb"][:, 0])
         g2 = jnp.asarray(pl["bb"][:, 1])
+        pos1, R1, bb1 = _geom_world(model, kin, g1)
+        pos2, R2, bb2 = _geom_world(model, kin, g2)
+        h1 = model.geom_size[g1]
+        h2 = model.geom_size[g2]
+        mu, margin = _combine(model, g1, g2)  # static pair indices
         if len(pl["bb"]) > BB_KEEP:
             # conservative bounding-sphere cull (see the cb block above)
-            pos1c, _, _ = _geom_world(model, kin, g1)
-            pos2c, _, _ = _geom_world(model, kin, g2)
-            bound = (
-                jnp.linalg.norm(model.geom_size[g1], axis=-1)
-                + jnp.linalg.norm(model.geom_size[g2], axis=-1)
-            )
-            d_low = jnp.linalg.norm(pos1c - pos2c, axis=-1) - bound
-            from smplsim_tpu.physics.constraints import top_k_pad
+            bound = jnp.linalg.norm(h1, axis=-1) + jnp.linalg.norm(h2, axis=-1)
+            d_low = jnp.linalg.norm(pos1 - pos2, axis=-1) - bound
+            from smplsim_tpu.physics.constraints import top_k_onehot
 
-            _, keep = top_k_pad(-d_low, BB_KEEP)
-            g1, g2 = g1[keep], g2[keep]
-        mu, margin = _combine(model, g1, g2)
-        d_bb, p_bb, n_bb, act_bb, bb1, bb2 = _box_box_manifold(
-            model, kin, g1, g2, margin
+            _, koh = top_k_onehot(-d_low, BB_KEEP)
+            keep = (koh @ jnp.arange(d_low.shape[0], dtype=dtype)
+                    ).astype(jnp.int32)
+            gath = lambda x: jnp.einsum("kp,p...->k...", koh, x)
+            pos1, R1, h1 = gath(pos1), gath(R1), gath(h1)
+            pos2, R2, h2 = gath(pos2), gath(R2), gath(h2)
+            mu, margin = gath(mu), gath(margin)
+            bb1, bb2 = bb1[keep], bb2[keep]
+        d_bb, p_bb, n_bb, act_bb = box_box_manifold_op(
+            pos1, R1, h1, pos2, R2, h2, margin
         )
         S = d_bb.shape[1]  # slots per pair
         dists.append(jnp.where(act_bb, d_bb, 1e9).reshape(-1))
@@ -868,13 +908,13 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
     mu = jnp.concatenate(mus)
     margin = jnp.concatenate(margins)
 
-    from smplsim_tpu.physics.constraints import top_k_pad
+    from smplsim_tpu.physics.constraints import top_k_onehot
     active_all = dist < margin
     score = jnp.where(active_all, -dist, -1e9)
-    sval, sel = top_k_pad(score, MAX_SELF)
     # selection as a one-hot matmul: the batched dynamic-index gathers of
     # the (N,3) candidate arrays serialize on TPU under the env vmap
-    soh = (sel[:, None] == jnp.arange(dist.shape[0])[None, :]).astype(dtype)
+    sval, soh = top_k_onehot(score, MAX_SELF)
+    sel = (soh @ jnp.arange(dist.shape[0], dtype=dtype)).astype(jnp.int32)
     return SelfContacts(
         dist=soh @ dist,
         pos=soh @ pos,

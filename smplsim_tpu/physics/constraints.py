@@ -29,35 +29,49 @@ NEFC = MAX_LIMITS + 4 * MAX_CONTACTS + 4 * MAX_SELF  # total fixed EFC rows
 _BIG = 1e9
 
 
+def top_k_onehot(score: jax.Array, k: int):
+    """Branchless top-k selection matrix via pairwise ranking.
+
+    Returns (values (k,), onehot (k, n) float) where onehot[r] selects the
+    element of rank r (first-index tie-break, matching lax.top_k). No
+    sequential loop and no sort: rank[i] = #{j : s[j] > s[i]} + #{j < i :
+    s[j] == s[i]} is one (n, n) comparison reduction — fully lane-parallel
+    under vmap, where a k-step argmax scan or a TPU sort serializes. n here
+    is a few hundred at most (contact candidate slots), so the O(n^2)
+    comparisons are noise next to the serial alternatives.
+
+    Slots beyond the number of candidates (n < k) are all-zero rows with
+    -_BIG value. NaN scores are ranked last (treated as -inf).
+    """
+    n = score.shape[0]
+    dtype = score.dtype
+    s = jnp.where(jnp.isnan(score), -jnp.inf, score)
+    gt = (s[None, :] > s[:, None]).astype(jnp.int32)        # (n,n): j beats i
+    iota = jnp.arange(n, dtype=jnp.int32)
+    tie = ((s[None, :] == s[:, None]) & (iota[None, :] < iota[:, None]))
+    rank = jnp.sum(gt + tie.astype(jnp.int32), axis=1)      # (n,)
+    onehot = (rank[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
+              ).astype(dtype)                               # (k,n)
+    vals = onehot @ jnp.where(jnp.isfinite(s), s, jnp.full_like(s, -_BIG))
+    vals = jnp.where(jnp.sum(onehot, axis=1) > 0.5, vals, -_BIG)
+    return vals, onehot
+
+
 def top_k_pad(score: jax.Array, k: int):
     """Top-k that tolerates fewer candidates than k (pads with -inf).
 
     Returns (values, indices); padded slots point at index 0 with -_BIG score
-    (callers mask on score/active anyway). For small k over wide candidate
-    arrays this uses k iterations of (argmax, mask) instead of lax.top_k —
-    a full sort of a (B, 1000+) array costs far more on TPU than k
-    max-reductions. Tie-breaking (first index wins) matches lax.top_k.
+    (callers mask on score/active anyway). Selection is the branchless
+    pairwise-rank construction (top_k_onehot); indices come from the
+    selection matrix, so there is no sort and no sequential argmax scan.
     """
     n = score.shape[0]
     if n < k:
         pad = jnp.full(k - n, -_BIG, score.dtype)
         v, i = jax.lax.top_k(jnp.concatenate([score, pad]), k)
         return v, jnp.minimum(i, n - 1)
-    if k > 24 or n <= 2 * k:
-        return jax.lax.top_k(score, k)
-
-    iota = jnp.arange(n, dtype=jnp.int32)
-
-    def pick(carry, _):
-        s = carry
-        # max/argmax reductions + where-mask stay lane-parallel under vmap;
-        # the earlier s.at[i].set / s[i] forms lowered to per-env scatter/
-        # gather, which serialize on TPU
-        v = jnp.max(s)
-        i = jnp.argmax(s).astype(jnp.int32)
-        return jnp.where(iota == i, -jnp.inf, s), (v, i)
-
-    _, (vals, idx) = jax.lax.scan(pick, score, None, length=k)
+    vals, onehot = top_k_onehot(score, k)
+    idx = (onehot @ jnp.arange(n, dtype=score.dtype)).astype(jnp.int32)
     return vals, idx
 
 
@@ -224,11 +238,10 @@ def make_efc(
     lactive_all = (lpos < 0.0) & limited
 
     score = jnp.where(lactive_all, -lpos, -_BIG)
-    lval, lsel = top_k_pad(score, MAX_LIMITS)
     # selection gathers as one-hot matmuls: batched gathers with dynamic
     # indices serialize on TPU; a (K,N)x(N,..) matmul stays lane-parallel
     # under the env vmap (same pattern as solver.solve_constraints)
-    loh = (lsel[:, None] == jnp.arange(lpos.shape[0])[None, :]).astype(dtype)
+    lval, loh = top_k_onehot(score, MAX_LIMITS)
     l_pos = loh @ lpos
     l_sign = loh @ lsign
     l_active = ((loh @ lactive_all.astype(dtype)) > 0.5) & (lval > -_BIG / 2)
@@ -259,8 +272,8 @@ def make_efc(
     invw_cand = model.body_invweight0[cand_body_np, 0]         # (P,)
 
     score = jnp.where(cand_active, -dist, -_BIG)
-    cval, csel = top_k_pad(score, MAX_CONTACTS)
-    sel_oh = (csel[:, None] == jnp.arange(dist.shape[0])[None, :]).astype(dtype)
+    cval, sel_oh = top_k_onehot(score, MAX_CONTACTS)
+    csel = (sel_oh @ jnp.arange(dist.shape[0], dtype=dtype)).astype(jnp.int32)
     c_dist = sel_oh @ dist
     c_pos = sel_oh @ con_pos
     c_geom = cand_geom[csel]  # (C,) int32, EFC diagnostics only

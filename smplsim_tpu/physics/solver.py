@@ -74,10 +74,13 @@ def solve_constraints(
     K = min(COMPACT_ROWS, nefc)
 
     # stable top-k on the activity flag keeps active rows in original order
-    _, sel = jax.lax.top_k(efc.active.astype(dtype), K)
-    # row gather/scatter as one-hot matmuls: batched gathers with dynamic
+    # (rank-based selection, no sort/scan; see constraints.top_k_onehot).
+    # Row gather/scatter as one-hot matmuls: batched gathers with dynamic
     # indices serialize on TPU, (K,nefc)x(nefc,nv) rides the MXU
-    onehot = (sel[:, None] == jnp.arange(nefc)[None, :]).astype(dtype)  # (K,nefc)
+    from smplsim_tpu.physics.constraints import top_k_onehot
+
+    _, onehot = top_k_onehot(efc.active.astype(dtype), K)  # (K,nefc)
+    sel = (onehot @ jnp.arange(nefc, dtype=dtype)).astype(jnp.int32)
     J_c = onehot @ efc.J                # (K, nv)
     R_c = onehot @ efc.R
     aref_c = onehot @ efc.aref

@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+# Parity tests validate against MuJoCo's every-pair collision pipeline; pin
+# the product-rate broadphase keeps wide so no pair is ever culled. (The
+# product operating point's tighter keeps are validated separately by the
+# calibration/trajectory-envelope tooling, like SMPLSIM_QP_*.)
+os.environ.setdefault("SMPLSIM_CC_KEEP", "4096")
+os.environ.setdefault("SMPLSIM_CB_KEEP", "4096")
+os.environ.setdefault("SMPLSIM_BB_KEEP", "4096")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
