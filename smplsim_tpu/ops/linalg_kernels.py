@@ -51,6 +51,106 @@ def _chol_kernel(A_ref, L_ref, *, n: int):
     jax.lax.fori_loop(0, n, col, 0)
 
 
+def _chol_solve_kernel(A_ref, b_ref, L_ref, x_ref, *, n: int):
+    """Fused: factor A into L_ref AND solve A x = b (fwd+bwd substitution),
+    all in one VMEM residency — replaces three pallas dispatches (chol +
+    solve_lower + solve_lower_t) and two HBM round trips of the factor."""
+    bb = A_ref.shape[-1]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, bb), 0)
+    row_i3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    L_ref[:] = A_ref[:]
+    x_ref[:] = b_ref[:]
+
+    def col(j, _):
+        rowj = L_ref[pl.ds(j, 1), :, :][0]
+        rowj = jnp.where(row_i < j, rowj, 0.0)
+        s = jnp.sum(L_ref[:] * rowj[None, :, :], axis=1)
+        colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+        c = colj - s
+        pj = jnp.sum(jnp.where(row_i == j, c, 0.0), axis=0, keepdims=True)
+        pivot = jnp.sqrt(pj)
+        newcol = jnp.where(
+            row_i == j, pivot, jnp.where(row_i > j, c / pivot, 0.0)
+        )
+        L_ref[:, pl.ds(j, 1), :] = newcol[:, None, :]
+        return 0
+
+    def fwd(j, _):
+        colj = L_ref[:, pl.ds(j, 1), :]                         # (n,1,BB)
+        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
+                      keepdims=True)
+        xj = x_ref[pl.ds(j, 1), :, :] / piv
+        x = x_ref[:]
+        x_ref[:] = jnp.where(row_i3 > j, x - colj * xj, x)
+        x_ref[pl.ds(j, 1), :, :] = xj
+        return 0
+
+    def bwd(t, _):
+        j = n - 1 - t
+        colj = L_ref[:, pl.ds(j, 1), :]
+        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
+                      keepdims=True)
+        s = jnp.sum(jnp.where(row_i3 > j, colj * x_ref[:], 0.0), axis=0,
+                    keepdims=True)
+        x_ref[pl.ds(j, 1), :, :] = (x_ref[pl.ds(j, 1), :, :] - s) / piv
+        return 0
+
+    jax.lax.fori_loop(0, n, col, 0)
+    jax.lax.fori_loop(0, n, fwd, 0)
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+@functools.partial(jax.jit)
+def chol_solve_batched(A, b):
+    """A (B,n,n) SPD, b (B,n) or (B,n,m) -> (L (B,n,n), x (B,n[,m]))."""
+    Bn, n = A.shape[0], A.shape[-1]
+    vec = b.ndim == 2
+    if vec:
+        b = b[..., None]
+    m = b.shape[-1]
+    np_ = _pad_n(n)
+    mp = max(_pad_n(m) if m > 1 else 1, 1)
+    if np_ != n:
+        eye = jnp.eye(np_, dtype=A.dtype)[n:]
+        A = jnp.concatenate(
+            [jnp.pad(A, ((0, 0), (0, 0), (0, np_ - n))),
+             jnp.tile(eye[None], (Bn, 1, 1))], axis=1
+        )
+        b = jnp.pad(b, ((0, 0), (0, np_ - n), (0, 0)))
+    if mp != m:
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, mp - m)))
+    At, _, Bp = _to_lanes(A)
+    bt, Bn, _ = _to_lanes(b)
+    pad_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Bp), 2) >= Bn
+    eye3 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+    At = jnp.where(pad_lane, eye3.astype(At.dtype), At)
+
+    Lt, xt = pl.pallas_call(
+        functools.partial(_chol_solve_kernel, n=np_),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, np_, Bp), A.dtype),
+            jax.ShapeDtypeStruct((np_, mp, Bp), A.dtype),
+        ),
+        grid=(Bp // BB,),
+        in_specs=[
+            pl.BlockSpec((np_, np_, BB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, mp, BB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((np_, np_, BB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, mp, BB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(At, bt)
+    L = jnp.moveaxis(Lt, -1, 0)[:Bn, :n, :n]
+    x = jnp.moveaxis(xt, -1, 0)[:Bn, :n, :m]
+    return L, (x[..., 0] if vec else x)
+
+
 def _solve_lower_kernel(L_ref, b_ref, x_ref, *, n: int, trans: bool):
     row_i3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     x_ref[:] = b_ref[:]

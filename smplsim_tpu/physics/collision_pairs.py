@@ -715,18 +715,16 @@ def _combine(model, g1, g2):
     return mu, margin
 
 
-def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
-    """All body-body contact candidates, top-MAX_SELF selected by depth."""
-    dtype = kin.xpos.dtype
-    pl = _pair_lists(
-        model.parents,
-        model.geom_body,
-        model.geom_type,
-        model.geom_contype or tuple(7 for _ in model.geom_type),
-        model.geom_conaffinity or tuple(1 for _ in model.geom_type),
-        model.contact_excludes,
-    )
+def _self_candidates_ref(model, kin, pl, keeps):
+    """Per-env self-contact candidate arrays (reference path).
 
+    `model`/`kin` may be lightweight namespaces carrying just the fields the
+    geometry helpers read (geom_pos/quat/size/friction/margin + static
+    geom_body/geom_type; kin.xpos/xmat). Returns (dist (N,), pos (N,3),
+    normal (N,3), body1 (N,), body2 (N,), mu (N,), margin (N,)).
+    """
+    dtype = kin.xpos.dtype
+    cc_keep, cb_keep, bb_keep = keeps
     dists, poss, normals, b1s, b2s, mus, margins = [], [], [], [], [], [], []
 
     # ---- capsule/sphere vs capsule/sphere: 2 candidate slots per pair ----
@@ -736,7 +734,7 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         p1, q1, r1, bb1 = _segment(model, kin, g1)
         p2, q2, r2, bb2 = _segment(model, kin, g2)
         mu_cc, margin_cc = _combine(model, g1, g2)  # static pair indices
-        if len(pl["cc"]) > CC_KEEP:
+        if len(pl["cc"]) > cc_keep:
             # conservative bounding-sphere cull (see the cb block below):
             # segment-center distance minus half-lengths minus radii is a
             # lower bound on the capsule-capsule distance
@@ -749,7 +747,7 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
             )
             from smplsim_tpu.physics.constraints import top_k_onehot
 
-            _, koh = top_k_onehot(-d_low, CC_KEEP)
+            _, koh = top_k_onehot(-d_low, cc_keep)
             keep = (koh @ jnp.arange(d_low.shape[0], dtype=dtype)
                     ).astype(jnp.int32)
             gath = lambda x: koh @ x if x.ndim == 1 else jnp.einsum(
@@ -809,12 +807,12 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         mu, margin = _combine(model, g1, g2)  # static pair indices
         # broadphase cull: the narrowphase dominates the substep at batch
         # scale, and a humanoid has at most a handful of capsule-box pairs
-        # anywhere near contact. Keep the CB_KEEP closest pairs by a
+        # anywhere near contact. Keep the cb_keep closest pairs by a
         # CONSERVATIVE separation bound (center distance minus capsule
         # half-length+radius minus box bounding radius): pairs beyond the
         # bound cannot touch, so the cull is exact while #plausible <=
-        # CB_KEEP (same capped-slots semantics as MAX_CONTACTS).
-        if len(pl["cb"]) > CB_KEEP:
+        # cb_keep (same capped-slots semantics as MAX_CONTACTS).
+        if len(pl["cb"]) > cb_keep:
             center = 0.5 * (p1 + q1)
             seg_half = 0.5 * jnp.linalg.norm(q1 - p1, axis=-1)
             bound = jnp.linalg.norm(half, axis=-1)
@@ -824,7 +822,7 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
             )
             from smplsim_tpu.physics.constraints import top_k_onehot
 
-            _, koh = top_k_onehot(-d_low, CB_KEEP)
+            _, koh = top_k_onehot(-d_low, cb_keep)
             keep = (koh @ jnp.arange(d_low.shape[0], dtype=dtype)
                     ).astype(jnp.int32)
             gath = lambda x: jnp.einsum("kp,p...->k...", koh, x)
@@ -861,13 +859,13 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         h1 = model.geom_size[g1]
         h2 = model.geom_size[g2]
         mu, margin = _combine(model, g1, g2)  # static pair indices
-        if len(pl["bb"]) > BB_KEEP:
+        if len(pl["bb"]) > bb_keep:
             # conservative bounding-sphere cull (see the cb block above)
             bound = jnp.linalg.norm(h1, axis=-1) + jnp.linalg.norm(h2, axis=-1)
             d_low = jnp.linalg.norm(pos1 - pos2, axis=-1) - bound
             from smplsim_tpu.physics.constraints import top_k_onehot
 
-            _, koh = top_k_onehot(-d_low, BB_KEEP)
+            _, koh = top_k_onehot(-d_low, bb_keep)
             keep = (koh @ jnp.arange(d_low.shape[0], dtype=dtype)
                     ).astype(jnp.int32)
             gath = lambda x: jnp.einsum("kp,p...->k...", koh, x)
@@ -887,7 +885,86 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
         mus.append(jnp.repeat(mu, S))
         margins.append(jnp.repeat(margin, S))
 
-    if not dists:
+    dist = jnp.concatenate(dists)
+    pos = jnp.concatenate(poss)
+    normal = jnp.concatenate(normals)
+    b1 = jnp.concatenate(b1s)
+    b2 = jnp.concatenate(b2s)
+    mu = jnp.concatenate(mus)
+    margin = jnp.concatenate(margins)
+    return dist, pos, normal, b1, b2, mu, margin
+
+
+@functools.lru_cache(maxsize=32)
+def _candidates_op(parents, geom_body, geom_type, contype, conaffinity,
+                   excludes, keeps):
+    """Build the (custom_jvp ∘ custom_vmap) candidates op for a topology.
+
+    Same dispatch pattern as kinematics._fk_op_for: per-env calls (and all
+    differentiation) run the reference family blocks above; under an env
+    vmap the WHOLE candidate pipeline (world poses, culls, narrowphase,
+    box-box manifold) runs the lanes-last twin in collision_lanes — full
+    lane utilization instead of (B, P, 3) minor-dim tile waste. Model geom
+    tables may be shared or per-env batched (β-heterogeneous stacks).
+    """
+    import types
+
+    pl = _pair_lists(parents, geom_body, geom_type, contype, conaffinity,
+                     excludes)
+    meta = {
+        "pairs": pl,
+        "geom_body": np.asarray(geom_body, np.int32),
+        "is_cap": np.asarray(
+            [t == GEOM_CAPSULE for t in geom_type], np.float64),
+    }
+
+    def ref_path(xpos, xmat, gpos, gquat, gsize, gfric, gmarg):
+        model_ns = types.SimpleNamespace(
+            geom_body=geom_body, geom_type=geom_type, geom_pos=gpos,
+            geom_quat=gquat, geom_size=gsize, geom_friction=gfric,
+            geom_margin=gmarg)
+        kin_ns = types.SimpleNamespace(xpos=xpos, xmat=xmat)
+        return _self_candidates_ref(model_ns, kin_ns, pl, keeps)
+
+    @jax.custom_batching.custom_vmap
+    def _core(xpos, xmat, gpos, gquat, gsize, gfric, gmarg):
+        return ref_path(xpos, xmat, gpos, gquat, gsize, gfric, gmarg)
+
+    @_core.def_vmap
+    def _core_vmap(axis_size, in_batched, *args):
+        from smplsim_tpu.physics import collision_lanes as CL
+
+        args = list(args)
+        # kin arrays anchor the lane width; broadcast if unbatched
+        for i in (0, 1):
+            if not in_batched[i]:
+                args[i] = jnp.broadcast_to(
+                    args[i][None], (axis_size,) + args[i].shape)
+        prepped = [jnp.moveaxis(x, 0, -1) if (i < 2 or in_batched[i]) else x
+                   for i, x in enumerate(args)]
+        outs = CL.self_candidates_lanes(meta, *prepped, keeps)
+        return outs, (True,) * len(outs)
+
+    @jax.custom_jvp
+    def _op(*args):
+        return _core(*args)
+
+    @_op.defjvp
+    def _op_jvp(primals, tangents):
+        # differentiate the reference path (plain ops) — iLQR jacfwds
+        return jax.jvp(ref_path, primals, tangents)
+
+    return _op
+
+
+def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
+    """All body-body contact candidates, top-MAX_SELF selected by depth."""
+    dtype = kin.xpos.dtype
+    contype = model.geom_contype or tuple(7 for _ in model.geom_type)
+    conaffinity = model.geom_conaffinity or tuple(1 for _ in model.geom_type)
+    pl = _pair_lists(model.parents, model.geom_body, model.geom_type,
+                     contype, conaffinity, model.contact_excludes)
+    if not (len(pl["cc"]) or len(pl["cb"]) or len(pl["bb"])):
         # no collidable pairs in this model: all slots inactive
         return SelfContacts(
             dist=jnp.full(MAX_SELF, 1e9, dtype),
@@ -900,13 +977,13 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
             active=jnp.zeros(MAX_SELF, dtype=bool),
         )
 
-    dist = jnp.concatenate(dists)
-    pos = jnp.concatenate(poss)
-    normal = jnp.concatenate(normals)
-    b1 = jnp.concatenate(b1s)
-    b2 = jnp.concatenate(b2s)
-    mu = jnp.concatenate(mus)
-    margin = jnp.concatenate(margins)
+    op = _candidates_op(model.parents, model.geom_body, model.geom_type,
+                        contype, conaffinity, model.contact_excludes,
+                        (CC_KEEP, CB_KEEP, BB_KEEP))
+    dist, pos, normal, b1, b2, mu, margin = op(
+        kin.xpos, kin.xmat, model.geom_pos, model.geom_quat,
+        model.geom_size, model.geom_friction, model.geom_margin,
+    )
 
     from smplsim_tpu.physics.constraints import top_k_onehot
     active_all = dist < margin

@@ -54,8 +54,7 @@ def stable_pd_torque(
     )
     rhs = -C - kp * qpos_err - kd * qvel
     H = M + jnp.diag(kd) * dt
-    chol = linalg.cholesky(H)
-    qacc = linalg.cho_solve(chol, rhs)
+    _, qacc = linalg.cho_factor_solve(H, rhs)
     tau = -(model.jkp * kp_scale) * qpos_err[6:] - (model.jkd * kd_scale) * (
         qvel[6:] + qacc[6:] * dt
     )

@@ -193,6 +193,5 @@ def smooth_dynamics(
         + passive_forces(model, qvel)
         - bias_forces(model, kin, qvel)
     )
-    chol = linalg.cholesky(M)
-    qacc = linalg.cho_solve(chol, qfrc)
+    chol, qacc = linalg.cho_factor_solve(M, qfrc)
     return Smooth(M=M, chol=chol, qfrc_smooth=qfrc, qacc_smooth=qacc)

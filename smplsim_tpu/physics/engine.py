@@ -91,8 +91,7 @@ def _forward_smooth(model: RobotModel, state: PhysicsState, tau: jax.Array,
     )
     if ext_force is not None:
         qfrc = qfrc + dynamics.external_forces(model, kin, ext_force)
-    chol = linalg.cholesky(M)
-    qacc_smooth = linalg.cho_solve(chol, qfrc)
+    chol, qacc_smooth = linalg.cho_factor_solve(M, qfrc)
     smooth = dynamics.Smooth(M=M, chol=chol, qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
     efc = constraints.make_efc(model, kin, state.qpos, state.qvel)
     return kin, smooth, efc, M, C

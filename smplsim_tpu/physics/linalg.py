@@ -188,6 +188,64 @@ def _tri_solve_lower_jvp(primals, tangents):
 
 
 @jax.custom_batching.custom_vmap
+def _cho_factor_solve_vmappable(A, b):
+    L = _cholesky_ref(A)
+    return L, _cho_solve_ref(L, b)
+
+
+@_cho_factor_solve_vmappable.def_vmap
+def _cho_factor_solve_vmap(axis_size, in_batched, A, b):
+    A_b, b_b = in_batched
+    if not A_b:
+        A = jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+    if not b_b:
+        b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    if not _is_f32(A, b):
+        def ref(A, b):
+            L = jax.vmap(_cholesky_ref)(A)
+            return L, jax.vmap(_cho_solve_ref)(L, b)
+        return ref(A, b), (True, True)
+    from smplsim_tpu.ops import linalg_kernels as lk
+
+    def ref32(A, b):
+        L = jax.vmap(_cholesky_ref)(A)
+        return L, jax.vmap(_cho_solve_ref)(L, b)
+
+    return jax.lax.platform_dependent(
+        A, b, tpu=lk.chol_solve_batched, default=ref32
+    ), (True, True)
+
+
+@jax.custom_jvp
+def cho_factor_solve(A: jax.Array, b: jax.Array):
+    """Fused (cholesky(A), solve(A, b)) — ONE TPU kernel dispatch and one
+    VMEM residency instead of three (factor + forward + backward), for the
+    per-substep mass-matrix factor-and-solve pairs (smooth dynamics and the
+    stable-PD (M + dt*Kd) solve)."""
+    return _cho_factor_solve_vmappable(A, b)
+
+
+@cho_factor_solve.defjvp
+def _cho_factor_solve_jvp(primals, tangents):
+    (A, b), (dA, db) = primals, tangents
+    L, x = _cho_factor_solve_vmappable(A, b)
+    SZ = jax.custom_derivatives.SymbolicZero
+    # dL via the cholesky differential; dx via implicit function theorem
+    if isinstance(dA, SZ):
+        dL = jnp.zeros_like(L)
+        rhs = jnp.zeros_like(x) if isinstance(db, SZ) else db
+    else:
+        dAs = jnp.tril(dA) + jnp.tril(dA, -1).T
+        T1 = solve_lower(L, dAs)
+        Z = solve_lower(L, T1.T).T
+        phi = jnp.tril(Z) - 0.5 * jnp.diag(jnp.diag(Z))
+        dL = L @ phi
+        rhs = (jnp.zeros_like(x) if isinstance(db, SZ) else db) - dAs @ x
+    dx = _cho_solve_ref(L, rhs)
+    return (L, x), (dL, dx)
+
+
+@jax.custom_batching.custom_vmap
 def _cho_solve_vmappable(L, b):
     return _cho_solve_ref(L, b)
 
