@@ -295,6 +295,36 @@ def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
 _CHUNK0 = min(12, NEWTON_ITERS)  # first kernel call: the common convergence depth
 _CHUNK = 8    # straggler chunks afterwards, up to the iteration cap
 
+# Two-phase straggler compaction (the TPU batch path): warm-started substeps
+# converge in 1-3 Newton iterations for almost every env, but the kernel's
+# early exit is per-128-lane-block — one slow env keeps its whole block
+# iterating. Phase 1 runs PHASE1 iterations on everyone; the B/STRAGGLER_DIV
+# envs with the worst KKT residuals are then gathered into a compact batch
+# for the remaining iterations and scattered back. Envs beyond the straggler
+# budget keep their phase-1 forces (surfaced by the solver's `stalled`
+# telemetry; bench runs show ~0 at the calibrated operating point).
+_PHASE1 = int(os.environ.get("SMPLSIM_QP_PHASE1", 6))
+_STRAGGLER_DIV = int(os.environ.get("SMPLSIM_QP_STRAGGLER_DIV", 8))
+
+
+def _newton_qp_twophase(A, b, active, f0, iters: int = NEWTON_ITERS):
+    """Phase-1 on the full batch, remaining iterations on the worst envs."""
+    Bn = b.shape[0]
+    if iters <= _PHASE1 or Bn < 2 * BB:
+        return _newton_qp_pallas(A, b, active, f0, iters=iters)
+    f1 = _newton_qp_pallas(A, b, active, f0, iters=_PHASE1)
+    dtype = A.dtype
+    tol = _tol_for(dtype) * (1.0 + jnp.max(jnp.abs(b), axis=-1))   # (B,)
+    g = jnp.einsum("bij,bj->bi", A, f1) - b
+    r = jnp.max(jnp.abs(f1 - jnp.maximum(f1 - g, 0.0))
+                * active.astype(dtype), axis=-1)
+    k = max(BB, (Bn // _STRAGGLER_DIV + BB - 1) // BB * BB)
+    _, idx = jax.lax.top_k(jnp.where(r > tol, r, -1.0), k)
+    f2 = _newton_qp_pallas(
+        A[idx], b[idx], active[idx], f1[idx], iters=iters - _PHASE1
+    )
+    return f1.at[idx].set(f2)
+
 
 def _newton_qp_chunked(A, b, active, f0, iters: int = NEWTON_ITERS):
     """Chunked adaptive solve: run the kernel _CHUNK iterations at a time
@@ -349,7 +379,7 @@ def _newton_qp_batched(A, b, active, f0, iters: int = NEWTON_ITERS):
 
     return jax.lax.platform_dependent(
         A, b, active, f0,
-        tpu=lambda a, x, m, w: _newton_qp_chunked(a, x, m, w, iters=iters),
+        tpu=lambda a, x, m, w: _newton_qp_twophase(a, x, m, w, iters=iters),
         default=ref,
     )
 

@@ -667,8 +667,9 @@ def self_candidates_lanes(
     axis B; per-geom model tables are shared ((G, ...)) or batched
     ((G, ..., B)). keeps: (CC_KEEP, CB_KEEP, BB_KEEP).
 
-    Returns candidate arrays in env-major layout: dist (B, N), pos (B, N, 3),
-    normal (B, N, 3), body1/body2 (B, N) int32, mu (B, N), margin (B, N).
+    Returns the SELECTED top-MAX_SELF contact slots, env-major: dist (B, S),
+    pos (B, S, 3), normal (B, S, 3), body1/body2 (B, S) int32, mu (B, S),
+    margin (B, S), active (B, S) bool.
     """
     dtype = xpos_l.dtype
     B = xpos_l.shape[-1]
@@ -833,15 +834,49 @@ def self_candidates_lanes(
         dep, pos, nrm, act = _box_box_lanes(
             pos1, R1, h1b, pos2, R2, h2b, mg_b)
         d_bb = jnp.where(act, dep, 1e9)                # (25,K,B)
-        n_bb = jnp.broadcast_to(nrm[None], pos.shape)  # (25,3,K,B)
-        emit(d_bb, pos, n_bb, b1_np, b2_np, mu, margin, koh, order="pair")
+        # slot compaction 25 -> 8 by depth (mjc_BoxBox emits at most 8
+        # surviving points; matches the reference path's compaction)
+        soh8 = _top_k_onehot_lanes(
+            -d_bb.reshape(25, -1), 8).reshape(8, 25, *d_bb.shape[1:])
+        d_bb = jnp.sum(soh8 * d_bb[None], axis=1)      # (8,K,B)
+        pos8 = jnp.stack([
+            jnp.sum(soh8 * pos[None, :, c] , axis=1) for c in range(3)
+        ], axis=1)                                     # (8,3,K,B)
+        n_bb = jnp.broadcast_to(nrm[None], pos8.shape)
+        emit(d_bb, pos8, n_bb, b1_np, b2_np, mu, margin, koh, order="pair")
 
-    # ---- env-major candidate arrays --------------------------------------
-    dist = jnp.moveaxis(jnp.concatenate(out_d, axis=0), -1, 0)       # (B,N)
-    pos = jnp.moveaxis(jnp.concatenate(out_p, axis=0), -1, 0)        # (B,N,3)
-    normal = jnp.moveaxis(jnp.concatenate(out_n, axis=0), -1, 0)
-    body1 = jnp.moveaxis(jnp.concatenate(out_b1, axis=0), -1, 0)
-    body2 = jnp.moveaxis(jnp.concatenate(out_b2, axis=0), -1, 0)
-    mu = jnp.moveaxis(jnp.concatenate(out_mu, axis=0), -1, 0)
-    margin = jnp.moveaxis(jnp.concatenate(out_mg, axis=0), -1, 0)
-    return dist, pos, normal, body1, body2, mu, margin
+    # ---- final depth-top-k selection, lanes-last --------------------------
+    from smplsim_tpu.physics.collision_pairs import MAX_SELF
+
+    dist = jnp.concatenate(out_d, axis=0)        # (N,B)
+    pos = jnp.concatenate(out_p, axis=0)         # (N,3,B)
+    normal = jnp.concatenate(out_n, axis=0)
+    body1 = jnp.concatenate(out_b1, axis=0)      # (N,B) int32
+    body2 = jnp.concatenate(out_b2, axis=0)
+    mu = jnp.concatenate(out_mu, axis=0)
+    margin = jnp.concatenate(out_mg, axis=0)
+
+    active_all = dist < margin
+    score = jnp.where(active_all, -dist, -1e9)
+    soh = _top_k_onehot_lanes(score, MAX_SELF)   # (S,N,B)
+    sval = _sel_scalar(soh, score)
+    sel_d = _sel_scalar(soh, dist)
+    sel_p = jnp.stack([_sel_scalar(soh, pos[:, c]) for c in range(3)],
+                      axis=1)                    # (S,3,B)
+    sel_n = jnp.stack([_sel_scalar(soh, normal[:, c]) for c in range(3)],
+                      axis=1)
+    sel_b1 = _sel_scalar(soh, body1.astype(dtype)).astype(jnp.int32)
+    sel_b2 = _sel_scalar(soh, body2.astype(dtype)).astype(jnp.int32)
+    sel_mu = _sel_scalar(soh, mu)
+    sel_mg = _sel_scalar(soh, margin)
+    sel_act = ((_sel_scalar(soh, active_all.astype(dtype)) > 0.5)
+               & (sval > -1e9 / 2))
+    # env-major: only (S, ...) slots cross the vmap boundary
+    return (jnp.moveaxis(sel_d, -1, 0),
+            jnp.moveaxis(sel_p, -1, 0),
+            jnp.moveaxis(sel_n, -1, 0),
+            jnp.moveaxis(sel_b1, -1, 0),
+            jnp.moveaxis(sel_b2, -1, 0),
+            jnp.moveaxis(sel_mu, -1, 0),
+            jnp.moveaxis(sel_mg, -1, 0),
+            jnp.moveaxis(sel_act, -1, 0))

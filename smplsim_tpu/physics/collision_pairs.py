@@ -720,8 +720,9 @@ def _self_candidates_ref(model, kin, pl, keeps):
 
     `model`/`kin` may be lightweight namespaces carrying just the fields the
     geometry helpers read (geom_pos/quat/size/friction/margin + static
-    geom_body/geom_type; kin.xpos/xmat). Returns (dist (N,), pos (N,3),
-    normal (N,3), body1 (N,), body2 (N,), mu (N,), margin (N,)).
+    geom_body/geom_type; kin.xpos/xmat). Returns the SELECTED top-MAX_SELF
+    slots: (dist (S,), pos (S,3), normal (S,3), body1 (S,), body2 (S,),
+    mu (S,), margin (S,), active (S,)).
     """
     dtype = kin.xpos.dtype
     cc_keep, cb_keep, bb_keep = keeps
@@ -876,8 +877,18 @@ def _self_candidates_ref(model, kin, pl, keeps):
         d_bb, p_bb, n_bb, act_bb = box_box_manifold_op(
             pos1, R1, h1, pos2, R2, h2, margin
         )
-        S = d_bb.shape[1]  # slots per pair
-        dists.append(jnp.where(act_bb, d_bb, 1e9).reshape(-1))
+        d_bb = jnp.where(act_bb, d_bb, 1e9)
+        # slot compaction: mjc_BoxBox caps output at 8 surviving points, so
+        # the deepest 8 of the 25 candidate slots carry every real contact;
+        # compacting before the cross-family top-k shrinks the ranking
+        # problem ~2x (tie-order among equal depths may shuffle)
+        from smplsim_tpu.physics.constraints import top_k_onehot as _tko
+        _, soh8 = jax.vmap(lambda s: _tko(-s, 8))(d_bb)   # (P,8,25)
+        d_bb = jnp.einsum("pqs,ps->pq", soh8, d_bb)
+        p_bb = jnp.einsum("pqs,psi->pqi", soh8, p_bb)
+        n_bb = jnp.einsum("pqs,psi->pqi", soh8, n_bb)
+        S = d_bb.shape[1]  # slots per pair (8)
+        dists.append(d_bb.reshape(-1))
         poss.append(p_bb.reshape(-1, 3))
         normals.append(n_bb.reshape(-1, 3))
         b1s.append(jnp.repeat(bb1, S))
@@ -892,7 +903,17 @@ def _self_candidates_ref(model, kin, pl, keeps):
     b2 = jnp.concatenate(b2s)
     mu = jnp.concatenate(mus)
     margin = jnp.concatenate(margins)
-    return dist, pos, normal, b1, b2, mu, margin
+
+    # final depth-top-k selection (kept INSIDE the op so the lanes twin can
+    # run it lanes-last and only MAX_SELF slots cross the vmap boundary)
+    from smplsim_tpu.physics.constraints import top_k_onehot
+    active_all = dist < margin
+    score = jnp.where(active_all, -dist, -1e9)
+    sval, soh = top_k_onehot(score, MAX_SELF)
+    sel = (soh @ jnp.arange(dist.shape[0], dtype=dtype)).astype(jnp.int32)
+    active = ((soh @ active_all.astype(dtype)) > 0.5) & (sval > -1e9 / 2)
+    return (soh @ dist, soh @ pos, soh @ normal, b1[sel], b2[sel],
+            soh @ mu, soh @ margin, active)
 
 
 @functools.lru_cache(maxsize=32)
@@ -980,25 +1001,9 @@ def self_contacts(model: RobotModel, kin: Kin) -> SelfContacts:
     op = _candidates_op(model.parents, model.geom_body, model.geom_type,
                         contype, conaffinity, model.contact_excludes,
                         (CC_KEEP, CB_KEEP, BB_KEEP))
-    dist, pos, normal, b1, b2, mu, margin = op(
+    dist, pos, normal, b1, b2, mu, margin, active = op(
         kin.xpos, kin.xmat, model.geom_pos, model.geom_quat,
         model.geom_size, model.geom_friction, model.geom_margin,
     )
-
-    from smplsim_tpu.physics.constraints import top_k_onehot
-    active_all = dist < margin
-    score = jnp.where(active_all, -dist, -1e9)
-    # selection as a one-hot matmul: the batched dynamic-index gathers of
-    # the (N,3) candidate arrays serialize on TPU under the env vmap
-    sval, soh = top_k_onehot(score, MAX_SELF)
-    sel = (soh @ jnp.arange(dist.shape[0], dtype=dtype)).astype(jnp.int32)
-    return SelfContacts(
-        dist=soh @ dist,
-        pos=soh @ pos,
-        normal=soh @ normal,
-        body1=b1[sel],
-        body2=b2[sel],
-        friction=soh @ mu,
-        margin=soh @ margin,
-        active=((soh @ active_all.astype(dtype)) > 0.5) & (sval > -1e9 / 2),
-    )
+    return SelfContacts(dist=dist, pos=pos, normal=normal, body1=b1,
+                        body2=b2, friction=mu, margin=margin, active=active)

@@ -97,13 +97,24 @@ def make_frame(n: jax.Array):
 
 
 class EFC(NamedTuple):
-    """Fixed-size constraint rows (4 pyramid rows per contact + limit rows)."""
+    """Fixed-size constraint rows as SPECS (4 pyramid rows per contact +
+    limit rows). Dense jacobians are NOT materialized here: a contact row's
+    jacobian is J = (W6 @ S^T) * (dofmask[body2] - dofmask[body1]), and only
+    the solver's COMPACT_ROWS selected rows ever build it — skipping the
+    (nefc, nv) batched J assembly and its HBM traffic entirely. Row order
+    (for warm starts / telemetry): [limits, 4*floor contacts, 4*self
+    contacts], `nefc = MAX_LIMITS + 4*(MAX_CONTACTS + MAX_SELF)`."""
 
-    J: jax.Array        # (nefc, nv)
-    aref: jax.Array     # (nefc,)
-    R: jax.Array        # (nefc,) regularizer
-    active: jax.Array   # (nefc,) bool
-    # contact diagnostics (per selected contact, not per row)
+    l_J: jax.Array      # (MAX_LIMITS, nv) limit rows (sign * dof one-hot)
+    l_aref: jax.Array   # (MAX_LIMITS,)
+    l_R: jax.Array      # (MAX_LIMITS,)
+    W6: jax.Array       # (C, 4, 6) contact wrench rows [pos x dir; dir]
+    body1: jax.Array    # (C,) int32, -1 = world/floor side
+    body2: jax.Array    # (C,) int32
+    aref: jax.Array     # (C, 4)
+    R: jax.Array        # (C, 4)
+    active: jax.Array   # (nefc,) bool, all rows in warm-start order
+    # contact diagnostics (per selected floor contact, not per row)
     con_dist: jax.Array   # (MAX_CONTACTS,)
     con_geom: jax.Array   # (MAX_CONTACTS,) geom index (valid where con_active)
     con_pos: jax.Array    # (MAX_CONTACTS,3)
@@ -282,7 +293,7 @@ def make_efc(
     c_cap = sel_oh @ cand_cap.astype(dtype)
     c_axis = sel_oh @ cand_axis
 
-    # constraint jacobians: rows n +- mu t for t in {t1, t2}. The tangent
+    # contact row directions: n +- mu t for t in {t1, t2}. The tangent
     # frame on the z=0 plane is GEOM-DEPENDENT in MuJoCo: plane-box and
     # plane-sphere use mju_makeFrame(+z) -> t1=(0,1,0), t2=(-1,0,0), while
     # mjc_PlaneCapsule aligns t1 with the capsule axis projected onto the
@@ -311,24 +322,25 @@ def make_efc(
         + jnp.stack([t1, -t1, t2, -t2], axis=1) * mu[:, None, None]
     )  # (C,4,3)
 
-    # J[c,k,v] = dir . (S_ang[v] x pos[c] + S_lin[v]) * mask[c,v]
-    #          = S[v] . [pos[c] x dir[c,k]; dir[c,k]] * mask[c,v]
-    # (scalar triple product) — one (4C,6)x(6,nv) MXU matmul instead of the
-    # (C,nv,3) point-jacobian intermediate (42x tile padding on the 3-axis)
-    dofmask = sel_oh @ dofmask_cand  # (C,nv)
+    # wrench rows about the world origin: W6 = [pos x dir; dir] — the row
+    # jacobian is J = (W6 @ S^T) * dofmask, built by the solver ONLY for its
+    # selected rows; row velocity J qvel == W6 . (body twist), computed here
+    # from per-body twists without any (nefc, nv) materialization
+    c_body = (sel_oh @ jnp.asarray(cand_body_np, dtype)).astype(jnp.int32)
     W6 = jnp.concatenate(
         [jnp.cross(jnp.broadcast_to(c_pos[:, None, :], dirs.shape), dirs), dirs],
         axis=-1,
     )  # (C,4,6)
-    c_J = (W6.reshape(4 * MAX_CONTACTS, 6) @ kin.S.T).reshape(
-        MAX_CONTACTS, 4, nv
-    ) * dofmask[:, None, :]
+
+    V = jnp.asarray(masks["body_dof"], dtype) @ (kin.S * qvel[:, None])  # (J,6)
+    nbody = V.shape[0]
+    c_b2oh = (c_body[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+    c_vel = jnp.einsum("ckw,cw->ck", W6, c_b2oh @ V)
 
     solimp = jnp.broadcast_to(model.floor_solimp, (MAX_CONTACTS, 5))
     c_x = c_dist - c_margin
     c_imp = impedance(solimp, c_x)
     cK, cB = solref_kb(model.floor_solref, model.floor_solimp)
-    c_vel = jnp.einsum("ckv,v->ck", c_J, qvel)
     c_aref = -cB * c_vel - (cK * c_imp * c_x)[:, None]
 
     mu_hat = jnp.maximum(mu, 1.0)
@@ -346,25 +358,17 @@ def make_efc(
         sc.normal[:, None, :]
         + jnp.stack([st1, -st1, st2, -st2], axis=1) * s_mu[:, None, None]
     )  # (S,4,3)
-    # body-indexed rows via one-hot matmuls over the (J,nv)/(J,) tables:
-    # sc.body1/body2 are dynamic (culls + depth top-k), and batched row
-    # gathers serialize on TPU
-    nbody = body_dof.shape[0]
-    b1_oh = (sc.body1[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
-    b2_oh = (sc.body2[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
-    relmask = (b2_oh - b1_oh) @ body_dof  # (S,nv)
     W6_s = jnp.concatenate(
         [jnp.cross(jnp.broadcast_to(sc.pos[:, None, :], s_dirs.shape), s_dirs),
          s_dirs],
         axis=-1,
     )  # (S,4,6)
-    s_J = (W6_s.reshape(4 * MAX_SELF, 6) @ kin.S.T).reshape(
-        MAX_SELF, 4, nv
-    ) * relmask[:, None, :]
+    b1_oh = (sc.body1[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+    b2_oh = (sc.body2[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+    s_vel = jnp.einsum("skw,sw->sk", W6_s, (b2_oh - b1_oh) @ V)
     s_solimp = jnp.broadcast_to(model.floor_solimp, (MAX_SELF, 5))
     s_x = sc.dist - sc.margin
     s_imp = impedance(s_solimp, s_x)
-    s_vel = jnp.einsum("skv,v->sk", s_J, qvel)
     s_aref = -cB * s_vel - (cK * s_imp * s_x)[:, None]
     s_muhat = jnp.maximum(s_mu, 1.0)
     s_diag = (
@@ -373,22 +377,33 @@ def make_efc(
     )
     s_R = ((1.0 - s_imp) / s_imp * s_diag)[:, None].repeat(4, axis=1)
 
-    # ---------------- stack ----------------
-    J = jnp.concatenate(
-        [l_J, c_J.reshape(4 * MAX_CONTACTS, nv), s_J.reshape(4 * MAX_SELF, nv)],
-        axis=0,
+    # ---------------- stack row specs ----------------
+    aref = jnp.concatenate([c_aref, s_aref], axis=0)       # (C,4)
+    R = jnp.concatenate([c_R, s_R], axis=0)
+    W6_all = jnp.concatenate([W6, W6_s], axis=0)           # (C,4,6)
+    body1 = jnp.concatenate(
+        [jnp.full(MAX_CONTACTS, -1, jnp.int32), sc.body1.astype(jnp.int32)]
     )
-    aref = jnp.concatenate([l_aref, c_aref.reshape(-1), s_aref.reshape(-1)])
-    R = jnp.concatenate([l_R, c_R.reshape(-1), s_R.reshape(-1)])
-    active = jnp.concatenate(
-        [l_active, jnp.repeat(c_active, 4), jnp.repeat(sc.active, 4)]
+    body2 = jnp.concatenate([c_body, sc.body2.astype(jnp.int32)])
+    con_act4 = jnp.concatenate(
+        [jnp.repeat(c_active, 4), jnp.repeat(sc.active, 4)]
     )
-    R = jnp.where(active, jnp.maximum(R, 1e-10), 1.0)
-    J = J * active[:, None]
-    aref = aref * active
+    active = jnp.concatenate([l_active, con_act4])
+    # inactive-row hygiene applied on the SPEC level (the solver re-applies
+    # the active mask to its built jacobian rows)
+    aref = aref * con_act4.reshape(-1, 4)
+    R = jnp.where(con_act4.reshape(-1, 4), jnp.maximum(R, 1e-10), 1.0)
+    l_aref = l_aref * l_active
+    l_R = jnp.where(l_active, jnp.maximum(l_R, 1e-10), 1.0)
+    l_J = l_J * l_active[:, None]
 
     return EFC(
-        J=J,
+        l_J=l_J,
+        l_aref=l_aref,
+        l_R=l_R,
+        W6=W6_all,
+        body1=body1,
+        body2=body2,
         aref=aref,
         R=R,
         active=active,

@@ -63,7 +63,7 @@ def forward(
     kin = kinematics.fk(model, state.qpos)
     smooth = dynamics.smooth_dynamics(model, kin, state.qvel, ctrl)
     efc = constraints.make_efc(model, kin, state.qpos, state.qvel)
-    sol = solver.solve_constraints(model, smooth, efc, f_warm)
+    sol = solver.solve_constraints(model, kin, smooth, efc, f_warm)
     return StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol)
 
 
@@ -178,7 +178,7 @@ def control_step(
                 model, M_prev, C_prev, st.qpos, st.qvel, target
             )
             kin, smooth, efc, M, C = _forward_smooth(model, st, tau, ext_force)
-            sol = solver.solve_constraints(model, smooth, efc, f_w)
+            sol = solver.solve_constraints(model, kin, smooth, efc, f_w)
             qpos, qvel = integrator.euler_step(
                 model, st.qpos, st.qvel, sol.qacc, model.timestep
             )

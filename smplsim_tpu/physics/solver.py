@@ -48,7 +48,8 @@ class ConstraintSolution(NamedTuple):
 
 
 def solve_constraints(
-    model: RobotModel, smooth: Smooth, efc: EFC, f_warm: jax.Array | None = None
+    model: RobotModel, kin, smooth: Smooth, efc: EFC,
+    f_warm: jax.Array | None = None
 ) -> ConstraintSolution:
     """Constraint forces via the compact active subsystem.
 
@@ -69,8 +70,10 @@ def solve_constraints(
     matching MuJoCo's mj_makeImpedance positivity), which makes A + diag(R)
     strictly positive definite on the active set.
     """
-    nefc = efc.J.shape[0]
-    dtype = efc.J.dtype
+    nefc = efc.active.shape[0]
+    dtype = efc.l_J.dtype
+    nv = efc.l_J.shape[1]
+    L = efc.l_J.shape[0]
     K = min(COMPACT_ROWS, nefc)
 
     # stable top-k on the activity flag keeps active rows in original order
@@ -78,13 +81,38 @@ def solve_constraints(
     # Row gather/scatter as one-hot matmuls: batched gathers with dynamic
     # indices serialize on TPU, (K,nefc)x(nefc,nv) rides the MXU
     from smplsim_tpu.physics.constraints import top_k_onehot
+    from smplsim_tpu.physics.topology import tree_masks
 
     _, onehot = top_k_onehot(efc.active.astype(dtype), K)  # (K,nefc)
-    sel = (onehot @ jnp.arange(nefc, dtype=dtype)).astype(jnp.int32)
-    J_c = onehot @ efc.J                # (K, nv)
-    R_c = onehot @ efc.R
-    aref_c = onehot @ efc.aref
-    active = efc.active[sel]
+    active = (onehot @ efc.active.astype(dtype)) > 0.5
+
+    # row-spec gathers (all (nefc,)-sized vectors — cheap)
+    aref_all = jnp.concatenate([efc.l_aref, efc.aref.reshape(-1)])
+    R_all = jnp.concatenate([efc.l_R, efc.R.reshape(-1)])
+    R_c = onehot @ R_all
+    aref_c = onehot @ aref_all
+
+    # jacobians ONLY for the K selected rows: J = (W6 @ S^T) * relmask for
+    # contact rows (+ the dense limit rows, which are K x L tiny). Rows
+    # gathered from the limit region have W6 = 0, so a bogus body index
+    # there contributes nothing.
+    oh_con = onehot[:, L:]                                  # (K, 4C)
+    W6_c = oh_con @ efc.W6.reshape(-1, 6)                   # (K, 6)
+    row_b1 = jnp.repeat(efc.body1, 4).astype(dtype)
+    row_b2 = jnp.repeat(efc.body2, 4).astype(dtype)
+    b1_c = oh_con @ row_b1
+    b2_c = oh_con @ row_b2
+    masks = tree_masks(model.parents)
+    body_dof = jnp.asarray(masks["body_dof"], dtype)        # (J, nv)
+    nbody = body_dof.shape[0]
+    barange = jnp.arange(nbody, dtype=dtype)[None, :]
+    b1_oh = ((jnp.abs(b1_c[:, None] - barange) < 0.5)
+             & (b1_c[:, None] > -0.5)).astype(dtype)        # (K, J)
+    b2_oh = ((jnp.abs(b2_c[:, None] - barange) < 0.5)
+             & (b2_c[:, None] > -0.5)).astype(dtype)
+    relmask = (b2_oh - b1_oh) @ body_dof                    # (K, nv)
+    J_c = (W6_c @ kin.S.T) * relmask + onehot[:, :L] @ efc.l_J
+    J_c = J_c * active[:, None]
 
     # Delassus operator A = J M^-1 J^T (+R on the diagonal), in Gram form:
     # Y = L^-1 J^T (ONE triangular pass over K rhs), A = Y^T Y — half the

@@ -286,16 +286,55 @@ class SkeletonMotion(SkeletonState):
         self.fps = fps
 
     @classmethod
-    def from_fbx(cls, fbx_file_path, *args, **kwargs):
-        """The reference reads FBX through a py2.7 FBX-SDK subprocess
-        (poselib/backend/fbx/fbx_read_wrapper.py) — an external proprietary
-        SDK this rebuild does not bundle. Convert the clip to npz/pkl
-        (names, parents, local rotations, root translation, fps) and use
-        the constructors here instead."""
-        raise NotImplementedError(
-            "FBX import requires the external Autodesk FBX SDK; export the "
-            "motion to npz/pkl and build a SkeletonMotion directly."
+    def from_npz(cls, path) -> "SkeletonMotion":
+        """Load a motion from the npz layout tools/fbx2npz.py writes:
+        node_names (J,), parent_indices (J,), local_translation (J,3),
+        local_rotation (T,J,4) wxyz, root_translation (T,3), fps ()."""
+        import numpy as np
+
+        data = np.load(path, allow_pickle=False)
+        tree = SkeletonTree(
+            [str(n) for n in data["node_names"]],
+            np.asarray(data["parent_indices"], np.int64),
+            jnp.asarray(data["local_translation"]),
         )
+        return cls(
+            tree,
+            jnp.asarray(data["local_rotation"]),
+            jnp.asarray(data["root_translation"]),
+            fps=float(data["fps"]),
+        )
+
+    @classmethod
+    def from_fbx(cls, fbx_file_path, root_joint=None, fps=None, **kwargs):
+        """The reference reads FBX through a py2.7 FBX-SDK subprocess
+        (/root/reference/smpl_sim/poselib/skeleton/backend/fbx/
+        fbx_read_wrapper.py:30) — the SDK is proprietary there too. Here:
+        if the Autodesk `fbx` python bindings are importable, convert
+        in-process via tools/fbx2npz.convert and load the result; otherwise
+        raise with the converter instructions (run tools/fbx2npz.py where
+        the SDK is installed, then SkeletonMotion.from_npz the output)."""
+        import importlib.util
+        import os
+        import sys
+        import tempfile
+
+        if importlib.util.find_spec("fbx") is None:
+            raise NotImplementedError(
+                "FBX import requires the external Autodesk FBX SDK python "
+                "bindings. On a machine with the SDK: `python tools/"
+                "fbx2npz.py clip.fbx clip.npz` then "
+                "SkeletonMotion.from_npz('clip.npz')."
+            )
+        tools = os.path.join(os.path.dirname(__file__), "..", "..", "tools")
+        sys.path.insert(0, os.path.abspath(tools))
+        try:
+            import fbx2npz
+        finally:
+            sys.path.pop(0)
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
+            fbx2npz.convert(fbx_file_path, tmp.name, root_joint, fps)
+            return cls.from_npz(tmp.name)
 
     @classmethod
     def from_skeleton_state(cls, state: SkeletonState, fps=30):

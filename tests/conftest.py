@@ -52,7 +52,11 @@ import pytest
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
-        help="run slow closed-loop parity tests",
+        help="run slow closed-loop parity tests (implies --runfull)",
+    )
+    parser.addoption(
+        "--runfull", action="store_true", default=False,
+        help="run the full compile-heavy tier (default is the smoke tier)",
     )
 
 
@@ -60,12 +64,43 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long closed-loop parity test (use --runslow)"
     )
+    config.addinivalue_line(
+        "markers", "full: compile-heavy tier test (use --runfull)"
+    )
+
+
+# Smoke tier: fast unit coverage of every subsystem — the default `pytest -q`
+# finishes in about a minute with a warm compile cache. Everything else
+# (engine/env/kernel parity suites, rollout and training integration — the
+# compile-heavy tier) runs with --runfull; the multi-minute closed-loop
+# trajectory gates additionally need --runslow. CI/driver validation runs
+# should use `pytest --runslow` (which enables both tiers).
+SMOKE_FILES = {
+    "test_transforms.py",      # quaternion/rotation algebra vs scipy
+    "test_model_parity.py",    # builder tables vs reference XML
+    "test_converter.py",       # qpos converters
+    "test_design.py",          # design-param space
+    "test_native.py",          # C++ asset-prep bindings
+    "test_mesh_builder.py",    # mesh skeleton writer
+    "test_body_model.py",      # SMPL LBS
+    "test_poselib.py",         # skeleton tree/state/motion
+    "test_legacy_env.py",      # dm-style tolerance rewards
+    "test_utils_extra.py",     # filters/normalizers/misc
+    "test_training_curve.py",  # committed-artifact regression gates
+    "test_render.py",          # offline renderer smoke
+}
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or config.getoption("-m"):
+    if config.getoption("-m"):
         return
-    skip = pytest.mark.skip(reason="slow parity test: use --runslow")
+    runslow = config.getoption("--runslow")
+    runfull = config.getoption("--runfull") or runslow
+    skip_slow = pytest.mark.skip(reason="slow parity test: use --runslow")
+    skip_full = pytest.mark.skip(reason="full tier: use --runfull (or --runslow)")
     for item in items:
         if "slow" in item.keywords:
-            item.add_marker(skip)
+            if not runslow:
+                item.add_marker(skip_slow)
+        elif not runfull and item.fspath.basename not in SMOKE_FILES:
+            item.add_marker(skip_full)

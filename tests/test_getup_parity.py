@@ -200,7 +200,7 @@ def test_overflow_flag_reports_truncation(model64):
             model64, kin, st.qvel, jnp.zeros(model64.nu)
         )
         efc = constraints.make_efc(model64, kin, st.qpos, st.qvel)
-        sol = solver.solve_constraints(model64, smooth, efc)
+        sol = solver.solve_constraints(model64, kin, smooth, efc)
         assert bool(sol.overflow) == (nact > 8)
         assert int(sol.nactive) == nact
     finally:

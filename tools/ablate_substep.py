@@ -122,10 +122,17 @@ def main():
         nefc = constraints.NEFC
         dtype = qpos_.dtype
         C = constraints.MAX_CONTACTS
+        CT = C + constraints.MAX_SELF
+        L = constraints.MAX_LIMITS
         return constraints.EFC(
-            J=jnp.zeros((nefc, nv), dtype) + qpos_[0] * 1e-30,
-            aref=jnp.zeros(nefc, dtype),
-            R=jnp.ones(nefc, dtype),
+            l_J=jnp.zeros((L, nv), dtype) + qpos_[0] * 1e-30,
+            l_aref=jnp.zeros(L, dtype),
+            l_R=jnp.ones(L, dtype),
+            W6=jnp.zeros((CT, 4, 6), dtype),
+            body1=jnp.full(CT, -1, jnp.int32),
+            body2=jnp.full(CT, -1, jnp.int32),
+            aref=jnp.zeros((CT, 4), dtype),
+            R=jnp.ones((CT, 4), dtype),
             active=jnp.zeros(nefc, bool),
             con_dist=jnp.full(C, 1e9, dtype),
             con_geom=jnp.zeros(C, jnp.int32),
@@ -134,8 +141,8 @@ def main():
             geom_floor_contact=jnp.zeros(model_.ngeom, bool),
         )
 
-    def no_solve(model_, smooth_, efc_, f_warm=None):
-        nefc = efc_.J.shape[0]
+    def no_solve(model_, kin_, smooth_, efc_, f_warm=None):
+        nefc = efc_.active.shape[0]
         nv = smooth_.qacc_smooth.shape[0]
         z = jnp.zeros(nefc, smooth_.qacc_smooth.dtype)
         return solver.ConstraintSolution(
@@ -147,12 +154,12 @@ def main():
 
     real_solve = solver.solve_constraints
 
-    def solve_no_qp(model_, smooth_, efc_, f_warm=None):
+    def solve_no_qp(model_, kin_, smooth_, efc_, f_warm=None):
         """Everything in solve_constraints except the Newton QP kernel."""
         from smplsim_tpu.ops import qp_kernel as qk
         with patched((qk, "newton_qp",
                       lambda A, b, active, f0=None: jnp.maximum(b, 0.0) * active)):
-            return real_solve(model_, smooth_, efc_, f_warm)
+            return real_solve(model_, kin_, smooth_, efc_, f_warm)
 
     def simple_pd(model_, M, C, qpos_, qvel_, target, kp_scale=1.0, kd_scale=1.0):
         """PD without the (M+dtKd) cholesky solve."""

@@ -107,7 +107,7 @@ def main():
         lambda x, eps: jax.vmap(
             lambda k, q, v: constraints.make_efc(model, k, q, v)
         )(kin, x + eps, qvel),
-        qpos, lambda e: e.J.sum()))
+        qpos, lambda e: e.W6.sum()))
 
     timeit("  floor_contacts (candidates)", lambda: serialized(
         lambda x, eps: jax.vmap(
@@ -154,7 +154,7 @@ def main():
             lambda x, eps: jax.vmap(
                 lambda k, q, v: constraints.make_efc(model, k, q, v)
             )(kin, x + eps, qvel),
-            qpos, lambda e: e.J.sum()))
+            qpos, lambda e: e.W6.sum()))
 
     # ---- solver pieces
     def e_perturb(e, eps):
@@ -162,26 +162,42 @@ def main():
 
     timeit("solve_constraints (total)", lambda: serialized(
         lambda x, eps: jax.vmap(
-            lambda s, e: solver.solve_constraints(model, s, e)
-        )(smooth, e_perturb(efc, eps)),
+            lambda k, s, e: solver.solve_constraints(model, k, s, e)
+        )(kin, smooth, e_perturb(efc, eps)),
         qpos, lambda s: s.qacc.sum()))
 
-    # Delassus assembly only (compact gather + cho_solve K rhs + matmuls)
-    def delassus(s, e):
-        nefc = e.J.shape[0]
+    # Delassus + QP inputs via the real solver internals (EFC v2 row specs)
+    def delassus(k, s, e):
+        from smplsim_tpu.physics.constraints import top_k_onehot
+        from smplsim_tpu.physics.topology import tree_masks
+        dtype = e.l_J.dtype
+        nefc = e.active.shape[0]
         K = min(solver.COMPACT_ROWS, nefc)
-        _, sel = jax.lax.top_k(e.active.astype(e.J.dtype), K)
-        J_c = e.J[sel]
-        MiJt = linalg.cho_solve(s.chol, J_c.T)
-        A = J_c @ MiJt + jnp.diag(e.R[sel])
-        b = e.aref[sel] - J_c @ s.qacc_smooth
-        return A, b, e.active[sel]
+        L = e.l_J.shape[0]
+        _, onehot = top_k_onehot(e.active.astype(dtype), K)
+        act = (onehot @ e.active.astype(dtype)) > 0.5
+        aref_all = jnp.concatenate([e.l_aref, e.aref.reshape(-1)])
+        R_all = jnp.concatenate([e.l_R, e.R.reshape(-1)])
+        oh_con = onehot[:, L:]
+        W6_c = oh_con @ e.W6.reshape(-1, 6)
+        b1_c = oh_con @ jnp.repeat(e.body1, 4).astype(dtype)
+        b2_c = oh_con @ jnp.repeat(e.body2, 4).astype(dtype)
+        body_dof = jnp.asarray(tree_masks(model.parents)["body_dof"], dtype)
+        ar = jnp.arange(body_dof.shape[0], dtype=dtype)[None]
+        b1o = ((jnp.abs(b1_c[:, None] - ar) < 0.5) & (b1_c[:, None] > -0.5)).astype(dtype)
+        b2o = ((jnp.abs(b2_c[:, None] - ar) < 0.5) & (b2_c[:, None] > -0.5)).astype(dtype)
+        J_c = (W6_c @ k.S.T) * ((b2o - b1o) @ body_dof) + onehot[:, :L] @ e.l_J
+        J_c = J_c * act[:, None]
+        Y = linalg.tri_solve_lower(s.chol, J_c.T)
+        A = Y.T @ Y + jnp.diag(onehot @ R_all)
+        b = (onehot @ aref_all) - J_c @ s.qacc_smooth
+        return A, jnp.where(act, b, 0.0), act
 
-    timeit("  delassus assembly (cho_solve 64rhs)", lambda: serialized(
-        lambda x, eps: jax.vmap(delassus)(smooth, e_perturb(efc, eps)),
+    timeit("  delassus assembly (J build + tri-solve)", lambda: serialized(
+        lambda x, eps: jax.vmap(delassus)(kin, smooth, e_perturb(efc, eps)),
         qpos, lambda ab: ab[0].sum()))
 
-    Ab, bb_, actb = jax.jit(jax.vmap(delassus))(smooth, efc)
+    Ab, bb_, actb = jax.jit(jax.vmap(delassus))(kin, smooth, efc)
     from smplsim_tpu.ops import qp_kernel
     f0_cold = jnp.zeros_like(bb_)
     timeit("  newton_qp kernel cold", lambda: serialized(
