@@ -318,7 +318,10 @@ def _newton_qp_twophase(A, b, active, f0, iters: int = NEWTON_ITERS):
     g = jnp.einsum("bij,bj->bi", A, f1) - b
     r = jnp.max(jnp.abs(f1 - jnp.maximum(f1 - g, 0.0))
                 * active.astype(dtype), axis=-1)
-    k = max(BB, (Bn // _STRAGGLER_DIV + BB - 1) // BB * BB)
+    # straggler budget, rounded up to a lane block but never beyond the batch
+    # (top_k with k > Bn is invalid; Bn >= 2*BB here, and _newton_qp_pallas
+    # pads non-multiple-of-BB gathers internally)
+    k = min(Bn, max(BB, (Bn // _STRAGGLER_DIV + BB - 1) // BB * BB))
     _, idx = jax.lax.top_k(jnp.where(r > tol, r, -1.0), k)
     f2 = _newton_qp_pallas(
         A[idx], b[idx], active[idx], f1[idx], iters=iters - _PHASE1

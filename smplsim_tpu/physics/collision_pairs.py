@@ -31,11 +31,14 @@ import os as _os
 
 MAX_SELF = 12
 # Pairs surviving the conservative broadphase cull, per type family. The
-# cull bound is exact (pairs beyond it cannot touch), so narrowphase on the
-# KEEP closest pairs loses contacts only when more than KEEP pairs are
-# simultaneously within margin — the same capped-slots semantics as
-# MAX_SELF (12 total kept contacts). Env overrides exist for calibration
-# and for the tight parity tests (tests set them high via conftest).
+# cull ranks pairs by a conservative LOWER BOUND on separation (pairs whose
+# bound exceeds margin cannot touch), so narrowphase on the KEEP
+# lowest-bound pairs can lose a touching pair whenever more than KEEP pairs
+# have lower bounds below that pair's bound — loose-bound far pairs can
+# evict a genuinely touching one. tests/test_self_collision.py::
+# test_default_keeps_match_wide pins the shipped defaults against
+# no-cull selection on the calibration pose set. Env overrides exist for
+# calibration and for the tight parity tests (conftest pins 4096).
 CC_KEEP = int(_os.environ.get("SMPLSIM_CC_KEEP", 24))  # capsule/sphere pairs
 CB_KEEP = int(_os.environ.get("SMPLSIM_CB_KEEP", 16))  # capsule-box pairs
 BB_KEEP = int(_os.environ.get("SMPLSIM_BB_KEEP", 8))   # box-box pairs

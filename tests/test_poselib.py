@@ -99,3 +99,46 @@ def test_motion_velocities_shapes():
     assert motion.global_velocity.shape == (5, J, 3)
     assert motion.global_angular_velocity.shape == (5, J, 3)
     assert motion.crop(1, 4).global_translation.shape[0] == 3
+
+
+def test_from_npz_round_trip(tmp_path):
+    """Synthetic npz in the tools/fbx2npz.py layout loads into a
+    SkeletonMotion that reproduces the arrays (ADVICE r4: from_npz had no
+    coverage)."""
+    rng = np.random.RandomState(3)
+    names = np.asarray(["Hips", "Spine", "Head", "LeftLeg"])
+    parents = np.asarray([-1, 0, 1, 0], np.int64)
+    local_t = rng.randn(4, 3).astype(np.float32)
+    T_frames = 6
+    aa = rng.randn(T_frames, 4, 3) * 0.3
+    local_q = np.asarray(T.exp_map_to_quat(jnp.asarray(aa)), np.float32)
+    root_t = rng.randn(T_frames, 3).astype(np.float32)
+    path = tmp_path / "clip.npz"
+    np.savez(path, node_names=names, parent_indices=parents,
+             local_translation=local_t, local_rotation=local_q,
+             root_translation=root_t, fps=24.0)
+
+    motion = SkeletonMotion.from_npz(str(path))
+    assert motion.fps == 24.0
+    assert motion.skeleton_tree.node_names == [str(n) for n in names]
+    assert list(motion.skeleton_tree.parent_indices) == list(parents)
+    np.testing.assert_allclose(
+        np.asarray(motion.local_rotation), local_q, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(motion.root_translation), root_t, atol=1e-7)
+    # derived FK runs on the loaded tree
+    assert motion.global_translation.shape == (T_frames, 4, 3)
+    assert motion.global_velocity.shape == (T_frames, 4, 3)
+
+
+def test_from_fbx_without_sdk_raises():
+    import importlib.util
+    if importlib.util.find_spec("fbx") is not None:
+        import pytest
+        pytest.skip("FBX SDK present")
+    try:
+        SkeletonMotion.from_fbx("/nonexistent/clip.fbx")
+    except NotImplementedError as e:
+        assert "fbx2npz" in str(e)
+    else:
+        raise AssertionError("expected NotImplementedError without the SDK")

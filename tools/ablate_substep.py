@@ -167,6 +167,29 @@ def main():
         tau = -model_.jkp * err - model_.jkd * qvel_[6:]
         return jnp.clip(tau, -model_.torque_lim, model_.torque_lim)
 
+    # ---- floor-level knockouts (r5): attribute the trivial-everything
+    # floor between FK, CRBA assembly, bias, and the dense linalg chain ----
+    from smplsim_tpu.physics import linalg
+
+    def diag_mass(model_, kin_):
+        nv = model_.nv
+        d = model_.armature + 10.0 + kin_.xpos[0, 0] * 1e-30
+        return jnp.zeros((nv, nv), d.dtype) + jnp.diag(d)
+
+    def no_bias(model_, kin_, qvel_):
+        return qvel_ * 1e-30
+
+    def diag_factor_solve(A, b):
+        d = jnp.diagonal(A, axis1=-2, axis2=-1)
+        eye = jnp.zeros_like(A) + jnp.eye(A.shape[-1], dtype=A.dtype)
+        return eye * (1.0 + d[..., None, :] * 1e-30), b / d
+
+    def no_tri(L, b):
+        return b * (1.0 + L[..., 0:1, 0:1] * 1e-30)
+
+    def no_chosolve(L, b):
+        return b * (1.0 + L[..., 0, 0] * 1e-30)
+
     # family knockouts: drop one pair family entirely from self-collision
     real_pair_lists = collision_pairs._pair_lists
 
@@ -205,6 +228,30 @@ def main():
         (solver, "solve_constraints", no_solve),
         (engine.solver, "solve_constraints", no_solve),
         (control, "stable_pd_torque", simple_pd))
+    if os.environ.get("BENCH_FLOOR"):
+        run("  - mass matrix = diag (no CRBA assembly)",
+            (dynamics, "mass_matrix", diag_mass))
+        run("  - no bias forces (no RNEA)",
+            (dynamics, "bias_forces", no_bias))
+        run("  - cho_factor_solve = diag (no 75x75 factor)",
+            (linalg, "cho_factor_solve", diag_factor_solve))
+        run("  - tri_solve_lower = identity (no delassus half-solve)",
+            (linalg, "tri_solve_lower", no_tri))
+        run("  - cho_solve = identity (no qacc back-solve)",
+            (linalg, "cho_solve", no_chosolve))
+        run("  - ALL dense linalg = diag/identity",
+            (linalg, "cho_factor_solve", diag_factor_solve),
+            (linalg, "tri_solve_lower", no_tri),
+            (linalg, "cho_solve", no_chosolve))
+        # floor-of-the-floor: trivial EFC + no solve + simple PD + diag mass
+        run("  - skeleton (trivial EFC/solve/PD + diag M + no bias)",
+            (constraints, "make_efc", cheap_efc),
+            (solver, "solve_constraints", no_solve),
+            (engine.solver, "solve_constraints", no_solve),
+            (control, "stable_pd_torque", simple_pd),
+            (dynamics, "mass_matrix", diag_mass),
+            (dynamics, "bias_forces", no_bias),
+            (linalg, "cho_factor_solve", diag_factor_solve))
 
     print()
     print(f"batch={B}  substeps={SUBSTEPS}  platform={jax.default_backend()}")
