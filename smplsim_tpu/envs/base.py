@@ -334,7 +334,7 @@ class HumanoidEnv:
         rew = self.reward(task, phys, kin, action)
 
         truncated = cur_t > cfg.episode_length
-        illegal = info_last.efc.geom_floor_contact & ~jnp.asarray(
+        illegal = info_last.geom_floor_contact & ~jnp.asarray(
             self._legal_floor_geom
         )
         terminated = jnp.any(illegal) & bool(cfg.enable_early_termination)

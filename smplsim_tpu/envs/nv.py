@@ -426,7 +426,7 @@ class NvHumanoid(HumanoidEnv):
         body_contact = (
             jnp.zeros(model.nbody, dtype=bool)
             .at[jnp.asarray(tuple(model.geom_body))]
-            .max(info_last.efc.geom_floor_contact)
+            .max(info_last.geom_floor_contact)
         )
         body_contact = body_contact.at[self._contact_body_ids].set(False)
         fall_contact = jnp.any(body_contact)

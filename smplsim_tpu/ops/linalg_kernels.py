@@ -151,6 +151,136 @@ def chol_solve_batched(A, b):
     return L, (x[..., 0] if vec else x)
 
 
+def _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, *, n: int,
+                            diag_ref=None):
+    """Factor A (+ optional diagonal shift) into VMEM scratch and solve
+    A x = b for this grid step's rhs chunk. The factor never reaches HBM.
+    Grid is (batch blocks, rhs chunks) with the rhs axis minor, so the
+    factorization runs ONCE per batch block (at rhs chunk 0) and persists
+    in scratch across that block's chunks. diag_ref (n,1,BB), when given,
+    adds a per-lane diagonal before factoring (the stable-PD
+    H = M + dt*diag(kd) assembly, fused so H never materializes in HBM)."""
+    bb = A_ref.shape[-1]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, bb), 0)
+    row_i3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+
+    def factor():
+        if diag_ref is None:
+            L_ref[:] = A_ref[:]
+        else:
+            eye3 = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1))
+            L_ref[:] = A_ref[:] + jnp.where(eye3, diag_ref[:, :, :], 0.0)
+
+        def col(j, _):
+            rowj = L_ref[pl.ds(j, 1), :, :][0]
+            rowj = jnp.where(row_i < j, rowj, 0.0)
+            s = jnp.sum(L_ref[:] * rowj[None, :, :], axis=1)
+            colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            c = colj - s
+            pj = jnp.sum(jnp.where(row_i == j, c, 0.0), axis=0, keepdims=True)
+            pivot = jnp.sqrt(pj)
+            newcol = jnp.where(
+                row_i == j, pivot, jnp.where(row_i > j, c / pivot, 0.0)
+            )
+            L_ref[:, pl.ds(j, 1), :] = newcol[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, n, col, 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        factor()
+
+    x_ref[:] = b_ref[:]
+
+    def fwd(j, _):
+        colj = L_ref[:, pl.ds(j, 1), :]
+        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
+                      keepdims=True)
+        xj = x_ref[pl.ds(j, 1), :, :] / piv
+        x = x_ref[:]
+        x_ref[:] = jnp.where(row_i3 > j, x - colj * xj, x)
+        x_ref[pl.ds(j, 1), :, :] = xj
+        return 0
+
+    def bwd(t, _):
+        j = n - 1 - t
+        colj = L_ref[:, pl.ds(j, 1), :]
+        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
+                      keepdims=True)
+        s = jnp.sum(jnp.where(row_i3 > j, colj * x_ref[:], 0.0), axis=0,
+                    keepdims=True)
+        x_ref[pl.ds(j, 1), :, :] = (x_ref[pl.ds(j, 1), :, :] - s) / piv
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+_MCHUNK_LANES = 16   # rhs columns per grid step (VMEM budget: the (n,n,BB)
+                     # operand + scratch factor dominate; chunking the rhs
+                     # keeps the pallas scoped-vmem footprint under the 16MB
+                     # default limit at n=80)
+
+
+def chol_solve_lanes(At, bt, diag_t=None):
+    """Lanes-native fused factor+solve: At (n,n,B) SPD, bt (n,m,B),
+    optional diag_t (n,B) added to the diagonal before factoring.
+    Returns xt (n,m,B) with A x = b per lane. No layout changes, no HBM
+    factor: callers keep the batch in lanes end-to-end (the substep spine).
+    n must be a multiple of 8 (pad with identity rows); the lane axis is
+    padded to 128 here (identity systems)."""
+    n, m, Bn = bt.shape
+    assert At.shape == (n, n, Bn) and n % 8 == 0
+    dtype = At.dtype
+    padl = (-Bn) % BB
+    if padl:
+        eye3 = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1))
+        At = jnp.concatenate(
+            [At, jnp.broadcast_to(eye3.astype(dtype), (n, n, padl))], axis=-1)
+        bt = jnp.pad(bt, ((0, 0), (0, 0), (0, padl)))
+        if diag_t is not None:
+            diag_t = jnp.pad(diag_t, ((0, 0), (0, padl)))
+    Bp = Bn + padl
+    mc = min(_MCHUNK_LANES, _pad_n(m) if m > 1 else 1)
+    mp = (m + mc - 1) // mc * mc
+    if mp != m:
+        bt = jnp.pad(bt, ((0, 0), (0, mp - m), (0, 0)))
+
+    grid = (Bp // BB, mp // mc)
+    in_specs = [
+        pl.BlockSpec((n, n, BB), lambda i, j: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, mc, BB), lambda i, j: (0, j, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [At, bt]
+    if diag_t is not None:
+        in_specs.append(pl.BlockSpec((n, 1, BB), lambda i, j: (0, 0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(diag_t[:, None, :])
+
+        def kern(A_ref, b_ref, d_ref, x_ref, L_ref):
+            _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, n=n,
+                                    diag_ref=d_ref)
+    else:
+        def kern(A_ref, b_ref, x_ref, L_ref):
+            _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, n=n)
+
+    xt = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, mp, Bp), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n, mc, BB), lambda i, j: (0, j, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, n, BB), dtype)],
+    )(*args)
+    return xt[:, :m, :Bn]
+
+
 def _solve_lower_kernel(L_ref, b_ref, x_ref, *, n: int, trans: bool):
     row_i3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     x_ref[:] = b_ref[:]

@@ -244,32 +244,16 @@ def _qp_kernel(iters_ref, A_ref, b_ref, act_ref, f0_ref, f_ref, L_ref, y_ref,
     jax.lax.fori_loop(0, iters_ref[0], body, 0)
 
 
-@jax.jit
-def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
-    """Batched solve: A (B,K,K), b (B,K), active (B,K), f0 (B,K) -> f (B,K).
-    `iters` is a runtime scalar (traced), so all chunk sizes share ONE
-    compiled Mosaic kernel."""
-    Bn, K = b.shape
-    dtype = A.dtype
-    pad = (-Bn) % BB
-    if pad:
-        A = jnp.concatenate(
-            [A, jnp.tile(jnp.eye(K, dtype=dtype)[None], (pad, 1, 1))], axis=0
-        )
-        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
-        active = jnp.concatenate([active, jnp.zeros((pad, K), bool)], axis=0)
-        f0 = jnp.concatenate([f0, jnp.zeros((pad, K), dtype)], axis=0)
-    Bp = Bn + pad
-
-    # batch -> lanes
-    At = jnp.transpose(A, (1, 2, 0))          # (K,K,Bp)
-    bt = jnp.transpose(b, (1, 0))             # (K,Bp)
-    at = jnp.transpose(active.astype(dtype), (1, 0))
-    ft = jnp.transpose(f0, (1, 0))
+def _newton_qp_pallas_lanes(At, bt, at, ft, iters=NEWTON_ITERS):
+    """Lanes-native kernel entry: At (K,K,Bp), bt/at/ft (K,Bp), Bp a
+    multiple of BB with inert padding lanes (identity A, zero active).
+    Returns f_t (K,Bp). The substep spine calls this directly so the batch
+    never leaves the lane dimension."""
+    K, Bp = bt.shape
+    dtype = At.dtype
     it = jnp.asarray(iters, jnp.int32).reshape(1)
-
     grid = (Bp // BB,)
-    f_t = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_qp_kernel, K=K, tol=_tol_for(dtype)),
         out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
         grid=grid,
@@ -289,7 +273,54 @@ def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
             pltpu.SMEM((1,), jnp.int32),
         ],
     )(it, At, bt, at, ft)
+
+
+@jax.jit
+def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
+    """Batched solve: A (B,K,K), b (B,K), active (B,K), f0 (B,K) -> f (B,K).
+    `iters` is a runtime scalar (traced), so all chunk sizes share ONE
+    compiled Mosaic kernel."""
+    Bn, K = b.shape
+    dtype = A.dtype
+    pad = (-Bn) % BB
+    if pad:
+        A = jnp.concatenate(
+            [A, jnp.tile(jnp.eye(K, dtype=dtype)[None], (pad, 1, 1))], axis=0
+        )
+        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        active = jnp.concatenate([active, jnp.zeros((pad, K), bool)], axis=0)
+        f0 = jnp.concatenate([f0, jnp.zeros((pad, K), dtype)], axis=0)
+
+    # batch -> lanes
+    At = jnp.transpose(A, (1, 2, 0))          # (K,K,Bp)
+    bt = jnp.transpose(b, (1, 0))             # (K,Bp)
+    at = jnp.transpose(active.astype(dtype), (1, 0))
+    ft = jnp.transpose(f0, (1, 0))
+    f_t = _newton_qp_pallas_lanes(At, bt, at, ft, iters)
     return jnp.transpose(f_t, (1, 0))[:Bn]
+
+
+def newton_qp_twophase_lanes(At, bt, at, ft, iters: int = NEWTON_ITERS):
+    """Lanes twin of _newton_qp_twophase: phase-1 on the full lane batch,
+    remaining iterations on the worst ~Bn/_STRAGGLER_DIV lanes (gathered to
+    batch-major — A is only (K,K,B), a cheap shuffle — and scattered back).
+    At (K,K,Bp), bt/at/ft (K,Bp) with inert padding lanes. Returns (K,Bp)."""
+    K, Bp = bt.shape
+    dtype = At.dtype
+    if iters <= _PHASE1 or Bp < 2 * BB:
+        return _newton_qp_pallas_lanes(At, bt, at, ft, iters=iters)
+    f1 = _newton_qp_pallas_lanes(At, bt, at, ft, iters=_PHASE1)
+    tol = _tol_for(dtype) * (1.0 + jnp.max(jnp.abs(bt), axis=0))       # (Bp,)
+    g = jnp.sum(At * f1[None, :, :], axis=1) - bt                      # (K,Bp)
+    r = jnp.max(jnp.abs(f1 - jnp.maximum(f1 - g, 0.0)) * at, axis=0)   # (Bp,)
+    k = min(Bp, max(BB, (Bp // _STRAGGLER_DIV + BB - 1) // BB * BB))
+    _, idx = jax.lax.top_k(jnp.where(r > tol, r, -1.0), k)
+    A2 = jnp.transpose(At, (2, 0, 1))[idx]                             # (k,K,K)
+    f2 = _newton_qp_pallas(
+        A2, bt[:, idx].T, at[:, idx].T > 0.5, f1[:, idx].T,
+        iters=iters - _PHASE1,
+    )
+    return f1.at[:, idx].set(f2.T)
 
 
 _CHUNK0 = min(12, NEWTON_ITERS)  # first kernel call: the common convergence depth

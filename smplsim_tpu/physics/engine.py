@@ -4,9 +4,16 @@ Single-env, pure-functional; batch via vmap, time via lax.scan. One substep =
 FK -> smooth dynamics -> constraint assembly -> dual solve -> Euler integrate
 (mirrors the per-substep loop the reference runs through MuJoCo at 450 Hz,
 smpl_sim/envs/humanoid_env.py:439-453).
+
+The uhc_pd control loop is a custom_vmap op: per-env calls (and all
+differentiation) run the reference substep composition below; under an env
+vmap the WHOLE 15-substep loop runs the lanes-last spine in
+physics/substep_lanes.py (r5 — the per-op custom_vmap seams were shipping
+the (75,75,B) mass matrix between layouts every substep, 45% of the step).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -21,6 +28,15 @@ from smplsim_tpu.physics import constraints, dynamics, integrator, kinematics, s
 class PhysicsState(struct.PyTreeNode):
     qpos: jax.Array
     qvel: jax.Array
+
+
+class LeanInfo(NamedTuple):
+    """What the env layer consumes from a control step — deliberately lean so
+    the batched path never materializes per-substep (nefc, nv) state."""
+
+    geom_floor_contact: jax.Array  # (ngeom,) any floor candidate in margin
+    nactive_max: jax.Array         # () int32 max active EFC rows (substeps)
+    stalled_any: jax.Array         # () bool any substep's QP under-converged
 
 
 class StepInfo(NamedTuple):
@@ -172,49 +188,19 @@ def control_step(
         else:
             M0, C0, f_w0 = cache
 
-        def substep(carry, _):
-            st, M_prev, C_prev, f_w, power, nact, stall = carry
-            tau = ctrl_mod.stable_pd_torque(
-                model, M_prev, C_prev, st.qpos, st.qvel, target
-            )
-            kin, smooth, efc, M, C = _forward_smooth(model, st, tau, ext_force)
-            sol = solver.solve_constraints(model, kin, smooth, efc, f_w)
-            qpos, qvel = integrator.euler_step(
-                model, st.qpos, st.qvel, sol.qacc, model.timestep
-            )
-            bad = _state_bad(st.qpos, st.qvel, sol.qacc)
-            qpos = jnp.where(bad, reset_qpos, qpos)
-            qvel = jnp.where(bad, reset_qvel, qvel)
-            M = jnp.where(bad, M_reset, M)
-            C = jnp.where(bad, C_reset, C)
-            f_w = jnp.where(bad, 0.0, sol.efc_force)
-            power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * st.qvel[6:])))
-            nact = jnp.maximum(nact, sol.nactive)
-            stall = stall | sol.stalled
-            info = StepInfo(kin=kin, smooth=smooth, efc=efc, sol=sol,
-                            nactive_max=nact, stalled_any=stall)
-            return (
-                PhysicsState(qpos=qpos, qvel=qvel), M, C, f_w, power, nact,
-                stall,
-            ), info
-
-        # first n-1 substeps discard StepInfo (a scan output would stack it
-        # across substeps — gigabytes at batch 4096); final substep runs
-        # outside the scan so only ITS info materializes
-        carry = (
-            state, M0, C0, f_w0, jnp.zeros((), dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        op = _uhc_op_for(control_freq_inv, ext_force is not None)
+        args = (model, state.qpos, state.qvel, M0, C0, f_w0, target,
+                reset_qpos, reset_qvel, M_reset, C_reset)
+        if ext_force is not None:
+            args = args + (ext_force,)
+        (qpos, qvel, M_last, C_last, f_w, power, nact, stall, gfc) = op(*args)
+        return (
+            PhysicsState(qpos=qpos, qvel=qvel),
+            LeanInfo(geom_floor_contact=gfc, nactive_max=nact,
+                     stalled_any=stall),
+            power,
+            (M_last, C_last, f_w),
         )
-        if control_freq_inv > 1:
-            def substep_noinfo(carry, _):
-                return substep(carry, None)[0], None
-
-            carry, _ = jax.lax.scan(
-                substep_noinfo, carry, None, length=control_freq_inv - 1
-            )
-        carry, last_info = substep(carry, None)
-        state, M_last, C_last, f_w, power, _, _ = carry
-        return state, last_info, power, (M_last, C_last, f_w)
 
     def substep(carry, _):
         st, f_w, power, nact, stall = carry
@@ -254,4 +240,129 @@ def control_step(
             substep_noinfo, carry, None, length=control_freq_inv - 1
         )
     (state, _, power, _, _), last_info = substep(carry, None)
-    return state, last_info, power, None
+    lean = LeanInfo(
+        geom_floor_contact=last_info.efc.geom_floor_contact,
+        nactive_max=last_info.nactive_max,
+        stalled_any=last_info.stalled_any,
+    )
+    return state, lean, power, None
+
+
+# ---------------------------------------------------------------------------
+# the uhc_pd control-loop op: reference per-env composition + lanes batch twin
+# ---------------------------------------------------------------------------
+def _uhc_core_ref(model, qpos, qvel, M0, C0, f_w0, target,
+                  reset_qpos, reset_qvel, M_reset, C_reset, ext_force,
+                  *, control_freq_inv: int):
+    """Per-env reference uhc_pd loop (the pre-r5 control_step body), lean
+    outputs only. This is the parity oracle and the differentiation path."""
+    from smplsim_tpu.physics import control as ctrl_mod
+
+    dtype = qpos.dtype
+
+    def substep(carry, _):
+        q, v, M_prev, C_prev, f_w, power, nact, stall, _gfc = carry
+        st = PhysicsState(qpos=q, qvel=v)
+        tau = ctrl_mod.stable_pd_torque(model, M_prev, C_prev, q, v, target)
+        kin, smooth, efc, M, C = _forward_smooth(model, st, tau, ext_force)
+        sol = solver.solve_constraints(model, kin, smooth, efc, f_w)
+        qpos2, qvel2 = integrator.euler_step(model, q, v, sol.qacc,
+                                             model.timestep)
+        bad = _state_bad(q, v, sol.qacc)
+        qpos2 = jnp.where(bad, reset_qpos, qpos2)
+        qvel2 = jnp.where(bad, reset_qvel, qvel2)
+        M = jnp.where(bad, M_reset, M)
+        C = jnp.where(bad, C_reset, C)
+        f_w = jnp.where(bad, 0.0, sol.efc_force)
+        power = power + jnp.where(bad, 0.0, jnp.sum(jnp.abs(tau * v[6:])))
+        nact = jnp.maximum(nact, sol.nactive)
+        stall = stall | sol.stalled
+        return (qpos2, qvel2, M, C, f_w, power, nact, stall,
+                efc.geom_floor_contact), None
+
+    carry = (
+        qpos, qvel, M0, C0, f_w0, jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        jnp.zeros(len(model.geom_type), bool),
+    )
+    carry, _ = jax.lax.scan(substep, carry, None, length=control_freq_inv)
+    return carry
+
+
+@functools.lru_cache(maxsize=16)
+def _uhc_op_for(control_freq_inv: int, has_ext: bool):
+    """(custom_jvp ∘ custom_vmap) uhc_pd control-loop op. Per-env calls and
+    jacfwd (MPC/co-design) run the reference loop; an env vmap dispatches
+    the whole batch to substep_lanes.uhc_control_lanes."""
+
+    def ref(*args):
+        if has_ext:
+            *rest, ext = args
+        else:
+            rest, ext = args, None
+        return _uhc_core_ref(*rest, ext, control_freq_inv=control_freq_inv)
+
+    @jax.custom_batching.custom_vmap
+    def _core(*args):
+        return ref(*args)
+
+    @_core.def_vmap
+    def _core_vmap(axis_size, in_batched, *args):
+        from smplsim_tpu.physics import substep_lanes as SL
+        from smplsim_tpu.physics.solver import COMPACT_ROWS
+        from smplsim_tpu.ops.qp_kernel import NEWTON_ITERS
+
+        if has_ext:
+            (model, qpos, qvel, M0, C0, f_w0, target,
+             rq, rv, Mr, Cr, ext) = args
+            (mb, qb, vb, M0b, C0b, fwb, tb, rqb, rvb, Mrb, Crb,
+             extb) = in_batched
+        else:
+            model, qpos, qvel, M0, C0, f_w0, target, rq, rv, Mr, Cr = args
+            mb, qb, vb, M0b, C0b, fwb, tb, rqb, rvb, Mrb, Crb = in_batched
+            ext, extb = None, False
+
+        def lanes(x, b):
+            if x is None:
+                return None
+            if not b:
+                return x
+            return jnp.moveaxis(x, 0, -1)
+
+        # state must be batched; broadcast if a caller vmapped only the model
+        def force_b(x, b):
+            return (x, True) if b else (
+                jnp.broadcast_to(x[None], (axis_size,) + x.shape), True)
+
+        qpos, qb = force_b(qpos, qb)
+        qvel, vb = force_b(qvel, vb)
+        M0, M0b = force_b(M0, M0b)
+        C0, C0b = force_b(C0, C0b)
+        f_w0, fwb = force_b(f_w0, fwb)
+        target, tb = force_b(target, tb)
+
+        model_l = jax.tree.map(lanes, model, mb)
+        model_axes = jax.tree.map(lambda b: -1 if b else None, mb)
+        outs = SL.uhc_control_lanes(
+            model_l, model_axes,
+            lanes(qpos, qb), lanes(qvel, vb), lanes(M0, M0b),
+            lanes(C0, C0b), lanes(f_w0, fwb), lanes(target, tb),
+            lanes(rq, rqb), lanes(rv, rvb), lanes(Mr, Mrb), lanes(Cr, Crb),
+            lanes(ext, extb) if has_ext else None,
+            control_freq_inv=control_freq_inv,
+            qp_iters=NEWTON_ITERS, K=min(COMPACT_ROWS, constraints.NEFC),
+        )
+        outs = tuple(jnp.moveaxis(o, -1, 0) for o in outs)
+        return outs, (True,) * len(outs)
+
+    @jax.custom_jvp
+    def _op(*args):
+        return _core(*args)
+
+    @_op.defjvp
+    def _op_jvp(primals, tangents):
+        # differentiate the reference loop (plain ops + the physics ops'
+        # own custom_jvps) — MPC jacfwds / co-design gradients
+        return jax.jvp(ref, primals, tangents)
+
+    return _op

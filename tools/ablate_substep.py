@@ -61,7 +61,8 @@ def main():
     from smplsim_tpu.envs import HumanoidSpeed
     from smplsim_tpu.models import registry
     from smplsim_tpu.physics import (collision_pairs, constraints, control,
-                                     dynamics, engine, solver)
+                                     dynamics, dynamics_lanes, engine, solver,
+                                     substep_lanes)
 
     model = registry.default_humanoid(dtype=jnp.float32)
     env = HumanoidSpeed(model)
@@ -201,6 +202,58 @@ def main():
             return d
         return pl
 
+    # ---- lanes-spine stand-ins (r5: the batched path runs substep_lanes;
+    # per-env patches only affect the reference path, so knockouts target
+    # the spine's seams) ----
+    real_solve_lanes = substep_lanes.solve_constraints_lanes
+    real_qp_dispatch = substep_lanes._qp_dispatch
+    real_chol_dispatch = substep_lanes._chol_solve_dispatch
+
+    def no_solve_lanes(model_, S, MpT, qfrc, efc, f_w, iters, K):
+        nv = S.shape[0]
+        B = S.shape[-1]
+        # dynamic lookup so the diag-chol knockout composes in the skeleton
+        x = substep_lanes._chol_solve_dispatch(MpT, qfrc[:, None, :])[:nv, 0, :]
+        z = jnp.zeros_like(f_w)
+        return (x, z, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+                jnp.zeros((B,), bool), x)
+
+    def qp_off(At, bt, at, ft, iters):
+        return jnp.maximum(bt, 0.0) * at
+
+    def simple_pd_lanes(model_, MpT, C_prev, qT, vT, targetT):
+        dtype = MpT.dtype
+        B = MpT.shape[-1]
+        jkp = jnp.broadcast_to(
+            model_.jkp[..., None] if model_.jkp.ndim == 1 else model_.jkp,
+            (targetT.shape[0], B))
+        jkd = jnp.broadcast_to(
+            model_.jkd[..., None] if model_.jkd.ndim == 1 else model_.jkd,
+            (targetT.shape[0], B))
+        lim = jnp.broadcast_to(
+            model_.torque_lim[..., None] if model_.torque_lim.ndim == 1
+            else model_.torque_lim, (targetT.shape[0], B))
+        err = qT[7:] - targetT
+        tau = -jkp * err - jkd * vT[6:] + C_prev[6:] * 1e-30
+        return jnp.clip(tau, -lim, lim)
+
+    def diag_chol_dispatch(Mt, bt, diag_t=None):
+        d = Mt[jnp.arange(Mt.shape[0]), jnp.arange(Mt.shape[0]), :]
+        if diag_t is not None:
+            d = d + diag_t
+        return bt / d[:, None, :]
+
+    def diag_mass_lanes(S, com, inertia_w, body_mass, armature, masks):
+        nv, _, B = S.shape
+        d = (jnp.broadcast_to(
+            armature[..., None] if armature.ndim == 1 else armature, (nv, B))
+            + 10.0 + S[0, 0] * 1e-30)
+        eye = jnp.eye(nv, dtype=S.dtype)[:, :, None]
+        return eye * d[None, :, :]
+
+    def no_bias_lanes(S, com, inertia_w, body_mass, gravity, qvel, masks):
+        return qvel * 1e-30
+
     # ---------------- measurements ----------------
     full = run("full control_step")
     if os.environ.get("BENCH_FAMILIES"):
@@ -212,40 +265,44 @@ def main():
     run("  - EFC all-inactive (assembly still runs)",
         (constraints, "make_efc", no_efc))
     run("  - EFC trivial (no assembly)", (constraints, "make_efc", cheap_efc))
-    run("  - no constraint solve (qacc=smooth)", (solver, "solve_constraints", no_solve),
+    run("  - no constraint solve (qacc=smooth)",
+        (substep_lanes, "solve_constraints_lanes", no_solve_lanes),
+        (solver, "solve_constraints", no_solve),
         (engine.solver, "solve_constraints", no_solve))
     run("  - solve w/o newton QP kernel",
-        (solver, "solve_constraints", solve_no_qp),
-        (engine.solver, "solve_constraints", solve_no_qp))
+        (substep_lanes, "_qp_dispatch", qp_off))
     run("  - simple PD (no stable-PD chol)",
+        (substep_lanes, "stable_pd_lanes", simple_pd_lanes),
         (control, "stable_pd_torque", simple_pd))
     run("  - trivial EFC + no solve",
         (constraints, "make_efc", cheap_efc),
+        (substep_lanes, "solve_constraints_lanes", no_solve_lanes),
         (solver, "solve_constraints", no_solve),
         (engine.solver, "solve_constraints", no_solve))
     run("  - trivial EFC + no solve + simple PD",
         (constraints, "make_efc", cheap_efc),
+        (substep_lanes, "solve_constraints_lanes", no_solve_lanes),
+        (substep_lanes, "stable_pd_lanes", simple_pd_lanes),
         (solver, "solve_constraints", no_solve),
         (engine.solver, "solve_constraints", no_solve),
         (control, "stable_pd_torque", simple_pd))
     if os.environ.get("BENCH_FLOOR"):
         run("  - mass matrix = diag (no CRBA assembly)",
+            (dynamics_lanes, "mass_matrix_lanes", diag_mass_lanes),
             (dynamics, "mass_matrix", diag_mass))
         run("  - no bias forces (no RNEA)",
+            (dynamics_lanes, "bias_forces_lanes", no_bias_lanes),
             (dynamics, "bias_forces", no_bias))
-        run("  - cho_factor_solve = diag (no 75x75 factor)",
+        run("  - all chol solves = diag (no 75x75 factor)",
+            (substep_lanes, "_chol_solve_dispatch", diag_chol_dispatch),
             (linalg, "cho_factor_solve", diag_factor_solve))
-        run("  - tri_solve_lower = identity (no delassus half-solve)",
-            (linalg, "tri_solve_lower", no_tri))
-        run("  - cho_solve = identity (no qacc back-solve)",
-            (linalg, "cho_solve", no_chosolve))
-        run("  - ALL dense linalg = diag/identity",
-            (linalg, "cho_factor_solve", diag_factor_solve),
-            (linalg, "tri_solve_lower", no_tri),
-            (linalg, "cho_solve", no_chosolve))
-        # floor-of-the-floor: trivial EFC + no solve + simple PD + diag mass
         run("  - skeleton (trivial EFC/solve/PD + diag M + no bias)",
             (constraints, "make_efc", cheap_efc),
+            (substep_lanes, "solve_constraints_lanes", no_solve_lanes),
+            (substep_lanes, "stable_pd_lanes", simple_pd_lanes),
+            (substep_lanes, "_chol_solve_dispatch", diag_chol_dispatch),
+            (dynamics_lanes, "mass_matrix_lanes", diag_mass_lanes),
+            (dynamics_lanes, "bias_forces_lanes", no_bias_lanes),
             (solver, "solve_constraints", no_solve),
             (engine.solver, "solve_constraints", no_solve),
             (control, "stable_pd_torque", simple_pd),
