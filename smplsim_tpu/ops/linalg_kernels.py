@@ -151,6 +151,9 @@ def chol_solve_batched(A, b):
     return L, (x[..., 0] if vec else x)
 
 
+_PANEL = 16
+
+
 def _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, *, n: int,
                             diag_ref=None):
     """Factor A (+ optional diagonal shift) into VMEM scratch and solve
@@ -159,10 +162,15 @@ def _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, *, n: int,
     factorization runs ONCE per batch block (at rhs chunk 0) and persists
     in scratch across that block's chunks. diag_ref (n,1,BB), when given,
     adds a per-lane diagonal before factoring (the stable-PD
-    H = M + dt*diag(kd) assembly, fused so H never materializes in HBM)."""
-    bb = A_ref.shape[-1]
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, bb), 0)
-    row_i3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    H = M + dt*diag(kd) assembly, fused so H never materializes in HBM).
+
+    Everything is PANEL-BLOCKED (r5): the naive column recurrences touch
+    the whole matrix / whole rhs every column — O(n) full-array VMEM passes
+    that made both the factor and the substitutions bandwidth-bound. Here
+    per-column work stays inside an (n-s, r) panel slab and the cross-panel
+    coupling is one rank-r update per panel, so total VMEM traffic drops
+    ~n/r-fold. Only the lower triangle is ever read or written."""
+    r = _PANEL
 
     def factor():
         if diag_ref is None:
@@ -172,21 +180,40 @@ def _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, *, n: int,
                     == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1))
             L_ref[:] = A_ref[:] + jnp.where(eye3, diag_ref[:, :, :], 0.0)
 
-        def col(j, _):
-            rowj = L_ref[pl.ds(j, 1), :, :][0]
-            rowj = jnp.where(row_i < j, rowj, 0.0)
-            s = jnp.sum(L_ref[:] * rowj[None, :, :], axis=1)
-            colj = L_ref[:, pl.ds(j, 1), :][:, 0, :]
-            c = colj - s
-            pj = jnp.sum(jnp.where(row_i == j, c, 0.0), axis=0, keepdims=True)
-            pivot = jnp.sqrt(pj)
-            newcol = jnp.where(
-                row_i == j, pivot, jnp.where(row_i > j, c / pivot, 0.0)
-            )
-            L_ref[:, pl.ds(j, 1), :] = newcol[:, None, :]
-            return 0
+        for s in range(0, n, r):
+            e = min(n, s + r)
+            rp = e - s
+            h = n - s
+            col_io = jax.lax.broadcasted_iota(jnp.int32, (1, rp, 1), 1)
+            bb = A_ref.shape[-1]
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (h, bb), 0)
 
-        jax.lax.fori_loop(0, n, col, 0)
+            def col(jj, _, s=s, e=e, rp=rp, h=h, col_io=col_io, row2=row2):
+                # single slab pass: c = A[s:,j] - L[s:, s:j] @ L[j, s:j]
+                S_ = L_ref[s:n, s:e, :]                       # (h, rp, BB)
+                rowj = L_ref[pl.ds(s + jj, 1), s:e, :]        # (1, rp, BB)
+                rowj = jnp.where(col_io < jj, rowj, 0.0)
+                cj = L_ref[s:n, pl.ds(s + jj, 1), :][:, 0, :]
+                c = cj - jnp.sum(S_ * rowj, axis=1)           # (h, BB)
+                piv = jnp.sqrt(
+                    jnp.sum(jnp.where(row2 == jj, c, 0.0), axis=0,
+                            keepdims=True))                   # (1, BB)
+                newcol = jnp.where(
+                    row2 == jj, piv, jnp.where(row2 > jj, c / piv, 0.0))
+                L_ref[s:n, pl.ds(s + jj, 1), :] = newcol[:, None, :]
+                return 0
+
+            jax.lax.fori_loop(0, rp, col, 0)
+            # trailing Schur update: L[e:, e:] -= T T^T, rank-8 chunks
+            if e < n:
+                T = L_ref[e:n, s:e, :]                        # (n-e, rp, BB)
+                for c0 in range(0, rp, 8):
+                    upd = 0.0
+                    for c in range(c0, min(rp, c0 + 8)):
+                        Tc = jax.lax.index_in_dim(T, c, axis=1,
+                                                  keepdims=False)
+                        upd = upd + Tc[:, None, :] * Tc[None, :, :]
+                    L_ref[e:n, e:n, :] = L_ref[e:n, e:n, :] - upd
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -194,34 +221,69 @@ def _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, *, n: int,
 
     x_ref[:] = b_ref[:]
 
-    def fwd(j, _):
-        colj = L_ref[:, pl.ds(j, 1), :]
-        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
-                      keepdims=True)
-        xj = x_ref[pl.ds(j, 1), :, :] / piv
-        x = x_ref[:]
-        x_ref[:] = jnp.where(row_i3 > j, x - colj * xj, x)
-        x_ref[pl.ds(j, 1), :, :] = xj
-        return 0
+    # ---- blocked forward substitution: within-panel column loop on the
+    # (rp, mc) slice, then ONE panel-rank update of the rows below ----
+    for s in range(0, n, r):
+        e = min(n, s + r)
+        rp = e - s
+        rio = jax.lax.broadcasted_iota(jnp.int32, (rp, 1, 1), 0)
 
-    def bwd(t, _):
-        j = n - 1 - t
-        colj = L_ref[:, pl.ds(j, 1), :]
-        piv = jnp.sum(jnp.where(row_i3 == j, colj, 0.0), axis=0,
-                      keepdims=True)
-        s = jnp.sum(jnp.where(row_i3 > j, colj * x_ref[:], 0.0), axis=0,
-                    keepdims=True)
-        x_ref[pl.ds(j, 1), :, :] = (x_ref[pl.ds(j, 1), :, :] - s) / piv
-        return 0
+        def fwd(jj, _, s=s, e=e, rp=rp, rio=rio):
+            colj = L_ref[s:e, pl.ds(s + jj, 1), :]            # (rp,1,BB)
+            piv = jnp.sum(jnp.where(rio == jj, colj, 0.0), axis=0,
+                          keepdims=True)
+            xj = x_ref[pl.ds(s + jj, 1), :, :] / piv
+            xs = x_ref[s:e, :, :]
+            x_ref[s:e, :, :] = jnp.where(rio > jj, xs - colj * xj, xs)
+            x_ref[pl.ds(s + jj, 1), :, :] = xj
+            return 0
 
-    jax.lax.fori_loop(0, n, fwd, 0)
-    jax.lax.fori_loop(0, n, bwd, 0)
+        jax.lax.fori_loop(0, rp, fwd, 0)
+        if e < n:
+            xs = x_ref[s:e, :, :]                             # (rp, mc, BB)
+            upd = 0.0
+            for c in range(rp):
+                Lc = L_ref[e:n, pl.ds(s + c, 1), :]           # (n-e,1,BB)
+                xc = jax.lax.index_in_dim(xs, c, axis=0, keepdims=True)
+                upd = upd + Lc * xc
+            x_ref[e:n, :, :] = x_ref[e:n, :, :] - upd
+
+    # ---- blocked back substitution (panels last to first) ----
+    for s in range(((n - 1) // r) * r, -1, -r):
+        e = min(n, s + r)
+        rp = e - s
+        rio = jax.lax.broadcasted_iota(jnp.int32, (rp, 1, 1), 0)
+        if e < n:
+            # subtract contributions of already-solved x[e:]:
+            # x[s:e] -= L[e:, s:e]^T @ x[e:]
+            xe = x_ref[e:n, :, :]                             # (n-e, mc, BB)
+            for c in range(rp):
+                Lc = L_ref[e:n, pl.ds(s + c, 1), :]           # (n-e,1,BB)
+                # row c of the update: sum_i L[e+i, s+c] x[e+i, m]
+                upd_c = jnp.sum(Lc * xe, axis=0, keepdims=True)
+                x_ref[pl.ds(s + c, 1), :, :] = (
+                    x_ref[pl.ds(s + c, 1), :, :] - upd_c)
+
+        def bwd(t, _, s=s, e=e, rp=rp, rio=rio):
+            jj = rp - 1 - t
+            colj = L_ref[s:e, pl.ds(s + jj, 1), :]            # (rp,1,BB)
+            piv = jnp.sum(jnp.where(rio == jj, colj, 0.0), axis=0,
+                          keepdims=True)
+            xs = x_ref[s:e, :, :]
+            ss = jnp.sum(jnp.where(rio > jj, colj * xs, 0.0), axis=0,
+                         keepdims=True)
+            x_ref[pl.ds(s + jj, 1), :, :] = (
+                x_ref[pl.ds(s + jj, 1), :, :] - ss) / piv
+            return 0
+
+        jax.lax.fori_loop(0, rp, bwd, 0)
 
 
-_MCHUNK_LANES = 16   # rhs columns per grid step (VMEM budget: the (n,n,BB)
+_MCHUNK_LANES = 24   # rhs columns per grid step (VMEM budget: the (n,n,BB)
                      # operand + scratch factor dominate; chunking the rhs
                      # keeps the pallas scoped-vmem footprint under the 16MB
-                     # default limit at n=80)
+                     # default limit at n=80, while fewer chunks keep the
+                     # sequential substitution-step count down)
 
 
 def chol_solve_lanes(At, bt, diag_t=None):
@@ -277,6 +339,10 @@ def chol_solve_lanes(At, bt, diag_t=None):
         out_specs=pl.BlockSpec((n, mc, BB), lambda i, j: (0, j, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n, n, BB), dtype)],
+        # the (n,n,BB) operand + factor scratch + rhs buffers exceed the
+        # conservative 16MB default scoped-vmem budget at n=80; the chip
+        # has far more VMEM than the default assumes
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(*args)
     return xt[:, :m, :Bn]
 

@@ -301,26 +301,36 @@ def _newton_qp_pallas(A, b, active, f0, iters=NEWTON_ITERS):
 
 
 def newton_qp_twophase_lanes(At, bt, at, ft, iters: int = NEWTON_ITERS):
-    """Lanes twin of _newton_qp_twophase: phase-1 on the full lane batch,
-    remaining iterations on the worst ~Bn/_STRAGGLER_DIV lanes (gathered to
-    batch-major — A is only (K,K,B), a cheap shuffle — and scattered back).
-    At (K,K,Bp), bt/at/ft (K,Bp) with inert padding lanes. Returns (K,Bp)."""
+    """Lanes QP batch solve with SORTED-lane compaction (r5).
+
+    The kernel's early exit is per-128-lane block: one unconverged lane
+    keeps its whole block iterating, and at 450 Hz warm starts most lanes
+    converge in 1-3 Newton iterations while a few cold/contact-switching
+    lanes need the full budget. Sorting lanes by the warm-start KKT
+    residual clusters the easy lanes into blocks that exit after one
+    iteration and concentrates the hard lanes into a few blocks that run
+    deep — every lane gets the FULL iteration budget (the old two-phase
+    straggler budget silently froze over-budget envs at phase-1 forces;
+    sorting removes that failure mode entirely). The permutation moves
+    (K,K,B) ~17 MB — noise next to one saved block-iteration sweep.
+
+    At (K,K,Bp), bt/at/ft (K,Bp) with inert padding lanes. Returns (K,Bp).
+    """
     K, Bp = bt.shape
     dtype = At.dtype
-    if iters <= _PHASE1 or Bp < 2 * BB:
+    if Bp < 2 * BB:
         return _newton_qp_pallas_lanes(At, bt, at, ft, iters=iters)
-    f1 = _newton_qp_pallas_lanes(At, bt, at, ft, iters=_PHASE1)
-    tol = _tol_for(dtype) * (1.0 + jnp.max(jnp.abs(bt), axis=0))       # (Bp,)
-    g = jnp.sum(At * f1[None, :, :], axis=1) - bt                      # (K,Bp)
-    r = jnp.max(jnp.abs(f1 - jnp.maximum(f1 - g, 0.0)) * at, axis=0)   # (Bp,)
-    k = min(Bp, max(BB, (Bp // _STRAGGLER_DIV + BB - 1) // BB * BB))
-    _, idx = jax.lax.top_k(jnp.where(r > tol, r, -1.0), k)
-    A2 = jnp.transpose(At, (2, 0, 1))[idx]                             # (k,K,K)
-    f2 = _newton_qp_pallas(
-        A2, bt[:, idx].T, at[:, idx].T > 0.5, f1[:, idx].T,
-        iters=iters - _PHASE1,
-    )
-    return f1.at[:, idx].set(f2.T)
+    # warm-start KKT residual per lane (padding lanes: b=0, act=0 -> r=0)
+    g = jnp.sum(At * ft[None, :, :], axis=1) - bt                      # (K,Bp)
+    r0 = jnp.max(jnp.abs(ft - jnp.maximum(ft - g, 0.0)) * at, axis=0)  # (Bp,)
+    perm = jnp.argsort(-r0)                                            # hard first
+    inv = jnp.argsort(perm)
+    # 2-D gather (the TPU backend lowers >2-D gathers poorly / not at all)
+    A2d = jnp.transpose(At, (2, 0, 1)).reshape(Bp, K * K)
+    A_s = jnp.transpose(A2d[perm].reshape(Bp, K, K), (1, 2, 0))
+    f_s = _newton_qp_pallas_lanes(
+        A_s, bt[:, perm], at[:, perm], ft[:, perm], iters=iters)
+    return f_s[:, inv]
 
 
 _CHUNK0 = min(12, NEWTON_ITERS)  # first kernel call: the common convergence depth

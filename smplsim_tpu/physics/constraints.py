@@ -390,12 +390,18 @@ def make_efc(
     )
     active = jnp.concatenate([l_active, con_act4])
     # inactive-row hygiene applied on the SPEC level (the solver re-applies
-    # the active mask to its built jacobian rows)
-    aref = aref * con_act4.reshape(-1, 4)
-    R = jnp.where(con_act4.reshape(-1, 4), jnp.maximum(R, 1e-10), 1.0)
-    l_aref = l_aref * l_active
+    # the active mask to its built jacobian rows). Masking uses WHERE, not
+    # multiplication: inactive selected slots hold garbage narrowphase
+    # values whose TANGENTS can be NaN (degenerate normalizations in
+    # far-apart manifolds), and 0 * NaN = NaN would poison d(qacc)/d(qpos)
+    # for iLQR/co-design jacfwds (select kills the unselected branch).
+    act4 = con_act4.reshape(-1, 4)
+    aref = jnp.where(act4, aref, 0.0)
+    R = jnp.where(act4, jnp.maximum(R, 1e-10), 1.0)
+    W6_all = jnp.where(act4[..., None], W6_all, 0.0)
+    l_aref = jnp.where(l_active, l_aref, 0.0)
     l_R = jnp.where(l_active, jnp.maximum(l_R, 1e-10), 1.0)
-    l_J = l_J * l_active[:, None]
+    l_J = jnp.where(l_active[:, None], l_J, 0.0)
 
     return EFC(
         l_J=l_J,

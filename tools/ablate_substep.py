@@ -213,7 +213,9 @@ def main():
         nv = S.shape[0]
         B = S.shape[-1]
         # dynamic lookup so the diag-chol knockout composes in the skeleton
-        x = substep_lanes._chol_solve_dispatch(MpT, qfrc[:, None, :])[:nv, 0, :]
+        np_ = MpT.shape[0]
+        rhs = jnp.zeros((np_, 1, B), qfrc.dtype).at[:nv, 0, :].set(qfrc)
+        x = substep_lanes._chol_solve_dispatch(MpT, rhs)[:nv, 0, :]
         z = jnp.zeros_like(f_w)
         return (x, z, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
                 jnp.zeros((B,), bool), x)

@@ -31,11 +31,12 @@ def main():
     from jax.sharding import Mesh, PartitionSpec as P
 
     from smplsim_tpu.control import CEMConfig, CEMPlanner
-    from smplsim_tpu.envs import HumanoidGetup
+    from smplsim_tpu.envs import HumanoidGetup, HumanoidSpeed
     from smplsim_tpu.models import registry
 
+    task = kv.get("task", "getup")
     model = registry.default_humanoid(dtype=jnp.float32)
-    env = HumanoidGetup(model)
+    env = (HumanoidSpeed if task == "speed" else HumanoidGetup)(model)
     st = env.reset(jax.random.PRNGKey(0))
 
     def timed_solves(plan_fn, label):
@@ -49,7 +50,8 @@ def main():
         float(np.asarray(a).ravel()[0])
         dt = time.perf_counter() - t0
         rec = {
-            "config": label, "platform": jax.default_backend(),
+            "config": label, "task": task,
+            "platform": jax.default_backend(),
             "solves_per_sec": round(n_solves / dt, 3),
             "ms_per_solve": round(dt / n_solves * 1000, 1),
             "samples": samples, "horizon": horizon,
