@@ -72,11 +72,39 @@ def _beta_batched_model():
     ), models[0]
 
 
+def _smplx_model():
+    """52-body SMPLX humanoid (finger gains) — the reference's flagship
+    model family (skeleton_local.py:108-163 GAINS_PHC); BENCH_MODEL=smplx
+    validates product-rate stability at nv=159."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic_body import make_synthetic_body
+
+    from smplsim_tpu.body_model import SMPLParser
+    from smplsim_tpu.models.builder import RobotConfig, build_robot_model
+
+    parser = SMPLParser(
+        data=make_synthetic_body(np.random.default_rng(1), "smplx"),
+        model_type="smplx",
+    )
+    model, _, _ = build_robot_model(
+        parser, cfg=RobotConfig(model="smplx"), dtype=jnp.float32
+    )
+    return model.astype(jnp.float32)
+
+
 def main():
     beta_het = os.environ.get("BENCH_BETA_HET", "") not in ("", "0")
+    model_kind = os.environ.get("BENCH_MODEL", "smpl")
     if beta_het:
         models, proto = _beta_batched_model()
         env = HumanoidSpeed(proto)
+    elif model_kind == "smplx":
+        model = _smplx_model()
+        env = HumanoidSpeed(model)
     else:
         model = registry.default_humanoid(dtype=jnp.float32)
         env = HumanoidSpeed(model)
@@ -119,15 +147,19 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_rounds * STEPS * BATCH / dt
+    metric = "humanoid_env_steps_per_sec_per_chip"
+    if beta_het:
+        metric += "_beta_het"
+    elif model_kind == "smplx":
+        metric += "_smplx52"
     print(
         json.dumps(
             {
-                "metric": ("humanoid_env_steps_per_sec_per_chip_beta_het"
-                           if beta_het else
-                           "humanoid_env_steps_per_sec_per_chip"),
+                "metric": metric,
                 "value": round(steps_per_sec, 1),
                 "unit": f"env-steps/s ({BATCH} envs"
                         + (", per-env beta" if beta_het else "")
+                        + (", smplx 52-body" if model_kind == "smplx" else "")
                         + ", 30 Hz control, 450 Hz physics)",
                 "vs_baseline": round(steps_per_sec / 1e6, 4),
             }

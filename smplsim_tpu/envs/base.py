@@ -88,6 +88,10 @@ class EnvState(struct.PyTreeNode):
     # the FK of phys.qpos; when injecting a phys by hand (state surgery in
     # tests/tools), set kin=None so step() re-derives it.
     kin: Any = None
+    # free projectile spheres (pos (P,3), vel (P,3)) when the env simulates
+    # thrown-object perturbations (NvConfig.num_projectiles > 0); None
+    # otherwise. Radius/mass are config constants, not state.
+    proj: Any = None
 
     @property
     def done(self) -> jax.Array:

@@ -239,11 +239,24 @@ class NvConfig(EnvConfig):
     contact_bodies: Tuple[str, ...] = ("R_Ankle", "L_Ankle", "R_Toe", "L_Toe")
     # impulse perturbations: every perturb_interval control steps, a random
     # body receives a random horizontal+up force of magnitude up to
-    # perturb_force for one control step — the physical fault-injection role
-    # of the reference's projectile assets (nv/humanoid.py:80-190), without
-    # simulating the projectiles themselves
+    # perturb_force for one control step — the cheap fault-injection hook
+    # (the reference's projectile assets, nv/humanoid.py:80-190, without
+    # simulating the projectiles themselves)
     perturb_interval: int = 0        # 0 disables
     perturb_force: float = 200.0     # Newtons, peak magnitude
+    # SIMULATED free projectile spheres (r5): every proj_interval control
+    # steps each sphere is re-thrown from a random direction proj_distance
+    # away at root height toward the humanoid at ~proj_speed. Spheres fly
+    # ballistically, couple to the humanoid through real EFC contact rows,
+    # and receive the equal-and-opposite contact force (the full simulated
+    # version of the reference's _load_proj_asset / projectile relaunch,
+    # nv/humanoid.py:135-190, 1989-2020)
+    num_projectiles: int = 0         # 0 disables
+    proj_interval: int = 60          # control steps between throws
+    proj_speed: float = 12.0         # m/s throw speed
+    proj_radius: float = 0.10
+    proj_mass: float = 2.0
+    proj_distance: float = 2.0       # throw origin distance from the root
 
 
 class NvHumanoid(HumanoidEnv):
@@ -352,7 +365,40 @@ class NvHumanoid(HumanoidEnv):
             pos, rot, vel, ang = self._kin_tuple(state.phys, kin, model)
             hist = BodyHistory.init(pos, rot, vel, ang, cfg.past_track_steps + 1)
             state = state.replace(task=hist, obs=self.compute_obs_from_hist(hist))
+        if cfg.num_projectiles > 0:
+            dtype = state.phys.qpos.dtype
+            P = cfg.num_projectiles
+            # parked far away and at rest until the first scheduled throw
+            pos = jnp.tile(jnp.asarray([100.0, 0.0, cfg.proj_radius], dtype),
+                           (P, 1)) + jnp.arange(P, dtype=dtype)[:, None]
+            state = state.replace(proj=(pos, jnp.zeros((P, 3), dtype)))
         return state
+
+    def _throw(self, key: jax.Array, root_pos: jax.Array, cur_t, proj):
+        """Projectile relaunch scheduler (reference nv/humanoid.py:1989-2020):
+        every proj_interval steps re-throw each sphere from a random bearing
+        proj_distance away, aimed at the root with an upward arc."""
+        cfg: NvConfig = self.config  # type: ignore[assignment]
+        pos, vel = proj
+        dtype = pos.dtype
+        P = pos.shape[0]
+        k_ang, k_h, k_sp = jax.random.split(key, 3)
+        ang = jax.random.uniform(k_ang, (P,), dtype, 0.0, 2 * jnp.pi)
+        h = jax.random.uniform(k_h, (P,), dtype, 0.6, 1.4)
+        speed = cfg.proj_speed * jax.random.uniform(k_sp, (P,), dtype, 0.7, 1.0)
+        origin = jnp.stack([
+            root_pos[0] + cfg.proj_distance * jnp.cos(ang),
+            root_pos[1] + cfg.proj_distance * jnp.sin(ang),
+            h,
+        ], axis=1)
+        target = jnp.stack([root_pos[0], root_pos[1],
+                            jnp.clip(root_pos[2], 0.4, 1.2)])
+        d = target[None, :] - origin
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-6)
+        v_new = d * speed[:, None]
+        active = (cur_t % cfg.proj_interval) == 0
+        return (jnp.where(active, origin, pos),
+                jnp.where(active, v_new, vel))
 
     def compute_obs_from_hist(self, hist: BodyHistory) -> jax.Array:
         cfg: NvConfig = self.config  # type: ignore[assignment]
@@ -392,7 +438,19 @@ class NvHumanoid(HumanoidEnv):
                 jnp.zeros((model.nbody, 3), state.phys.qpos.dtype),
             )
 
-        phys, info_last, power, cache = engine.control_step(
+        proj_in = None
+        proj_out = None
+        if cfg_nv.num_projectiles > 0 and state.proj is not None:
+            k_throw, k_task = jax.random.split(k_task)
+            p_pos, p_vel = self._throw(
+                k_throw, state.phys.qpos[:3], state.cur_t, state.proj)
+            dtype = state.phys.qpos.dtype
+            P = cfg_nv.num_projectiles
+            proj_in = (p_pos, p_vel,
+                       jnp.full((P,), cfg_nv.proj_radius, dtype),
+                       jnp.full((P,), 1.0 / cfg_nv.proj_mass, dtype))
+
+        outs = engine.control_step(
             model, state.phys, action,
             control_freq_inv=cfg.control_frequency_inv,
             control_mode=cfg.control_mode,
@@ -401,7 +459,12 @@ class NvHumanoid(HumanoidEnv):
             pd_target_mask=self.pd_target_mask(),
             reset_ref=self._reset_ref if model is self.model else None,
             ext_force=ext_force,
+            proj=proj_in,
         )
+        if proj_in is not None:
+            phys, info_last, power, cache, proj_out = outs
+        else:
+            phys, info_last, power, cache = outs
 
         cur_t = state.cur_t + 1
         kin = kinematics.fk(model, phys.qpos)
@@ -443,5 +506,5 @@ class NvHumanoid(HumanoidEnv):
             info={"power": power, "nactive": info_last.nactive_max,
                   "overflow": info_last.nactive_max > solver.COMPACT_ROWS,
                   "stalled": info_last.stalled_any},
-            pd_cache=cache, kin=kin,
+            pd_cache=cache, kin=kin, proj=proj_out,
         )

@@ -279,7 +279,7 @@ def _chol_solve_only_kernel(A_ref, b_ref, x_ref, L_ref, *, n: int,
         jax.lax.fori_loop(0, rp, bwd, 0)
 
 
-_MCHUNK_LANES = 24   # rhs columns per grid step (VMEM budget: the (n,n,BB)
+_MCHUNK_LANES = 40   # rhs columns per grid step (VMEM budget: the (n,n,BB)
                      # operand + scratch factor dominate; chunking the rhs
                      # keeps the pallas scoped-vmem footprint under the 16MB
                      # default limit at n=80, while fewer chunks keep the

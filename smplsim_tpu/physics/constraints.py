@@ -25,7 +25,9 @@ from smplsim_tpu.physics.topology import tree_masks
 
 MAX_CONTACTS = 24   # floor contacts kept per env (deepest-first)
 MAX_LIMITS = 12     # joint-limit rows kept per env
-NEFC = MAX_LIMITS + 4 * MAX_CONTACTS + 4 * MAX_SELF  # total fixed EFC rows
+MAX_PROJC = 4       # projectile(free sphere)-vs-humanoid contacts kept
+# total fixed EFC rows: [limits, 4*floor, 4*self, 4*projectile]
+NEFC = MAX_LIMITS + 4 * MAX_CONTACTS + 4 * MAX_SELF + 4 * MAX_PROJC
 _BIG = 1e9
 
 
@@ -120,6 +122,10 @@ class EFC(NamedTuple):
     con_pos: jax.Array    # (MAX_CONTACTS,3)
     con_active: jax.Array  # (MAX_CONTACTS,) bool
     geom_floor_contact: jax.Array  # (ngeom,) bool: any candidate within margin
+    # projectile (free-sphere) contact slots: which sphere owns each of the
+    # trailing MAX_PROJC contact slots (-1 = inactive) — the engine applies
+    # the equal-and-opposite solved contact force to that sphere
+    proj_sphere: jax.Array  # (MAX_PROJC,) int32
 
 
 @functools.lru_cache(maxsize=32)
@@ -229,9 +235,21 @@ def floor_contacts(model: RobotModel, kin: Kin):
 
 
 def make_efc(
-    model: RobotModel, kin: Kin, qpos: jax.Array, qvel: jax.Array
+    model: RobotModel, kin: Kin, qpos: jax.Array, qvel: jax.Array,
+    spheres=None,
 ) -> EFC:
-    """Assemble fixed-shape constraint rows (limits first, then contacts)."""
+    """Assemble fixed-shape constraint rows (limits first, then contacts).
+
+    `spheres` optionally adds free-flying projectile spheres as an external
+    contact source (the TPU-native simulated version of the reference's
+    thrown projectile assets, nv/humanoid.py:135-190): a tuple
+    (pos (P,3), vel (P,3), radius (P,), invmass (P,)). Sphere-vs-geom
+    contacts become ordinary pyramidal EFC rows on the humanoid (body1=-1
+    external side, like the floor), with the row reference velocity shifted
+    by the sphere's velocity and the sphere's inverse mass added to the
+    row regularization (MuJoCo's diagApprox sums both bodies' invweights).
+    The engine applies the equal-and-opposite solved force to the sphere.
+    """
     dtype = qpos.dtype
     nv = model.nv
     masks = tree_masks(model.parents)
@@ -377,16 +395,110 @@ def make_efc(
     )
     s_R = ((1.0 - s_imp) / s_imp * s_diag)[:, None].repeat(4, axis=1)
 
+    # ---------------- projectile (free sphere) contacts ----------------
+    if spheres is not None:
+        from smplsim_tpu.physics import collision_pairs as _cp
+
+        sp_pos, sp_vel, sp_rad, sp_inv = spheres           # (P,3)...
+        P = sp_pos.shape[0]
+        G = model.ngeom
+        gidx = jnp.arange(G)
+        seg_p, seg_q, seg_r, _gb = _cp._segment(model, kin, gidx)  # (G,3)..
+        gbody = jnp.asarray(np.asarray(model.geom_body, np.int32))
+        c = sp_pos[:, None, :]                             # (P,1,3)
+        dseg = (seg_q - seg_p)[None]                       # (1,G,3)
+        len2 = jnp.maximum(jnp.sum(dseg * dseg, -1), 1e-12)
+        t = jnp.clip(jnp.sum((c - seg_p[None]) * dseg, -1) / len2, 0.0, 1.0)
+        closest = seg_p[None] + t[..., None] * dseg        # (P,G,3)
+        delta = closest - c
+        gap = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-18))
+        n_seg = delta / gap[..., None]
+        dist_seg = gap - seg_r[None] - sp_rad[:, None]
+        pos_seg = c + n_seg * (sp_rad[:, None] + 0.5 * dist_seg)[..., None]
+
+        bpos, bRot, _bb = _cp._geom_world(model, kin, gidx)    # (G,3),(G,3,3)
+        lp = jnp.einsum("gji,pgj->pgi", bRot, c - bpos[None])  # (P,G,3)
+        sdf, n_out = _cp._box_sdf(lp, model.geom_size[None])
+        dist_box = sdf - sp_rad[:, None]
+        nloc = -n_out
+        ploc = lp + (sp_rad[:, None] + 0.5 * dist_box)[..., None] * nloc
+        pos_box = bpos[None] + jnp.einsum("gij,pgj->pgi", bRot, ploc)
+        n_box = jnp.einsum("gij,pgj->pgi", bRot, nloc)
+
+        is_box = jnp.asarray(
+            np.asarray([tg == GEOM_BOX for tg in model.geom_type]))[None]
+        p_dist = jnp.where(is_box, dist_box, dist_seg)         # (P,G)
+        p_pos = jnp.where(is_box[..., None], pos_box, pos_seg)
+        p_norm = jnp.where(is_box[..., None], n_box, n_seg)
+        p_margin = jnp.broadcast_to(model.geom_margin[None], p_dist.shape)
+        p_active = p_dist < p_margin
+
+        flat = lambda x: x.reshape((P * G,) + x.shape[2:])
+        score = jnp.where(flat(p_active), -flat(p_dist), -_BIG)
+        pval, p_oh = top_k_onehot(score, MAX_PROJC)            # (K,PG)
+        psel = (p_oh @ jnp.arange(P * G, dtype=dtype)).astype(jnp.int32)
+        k_dist = p_oh @ flat(p_dist)
+        k_pos = p_oh @ flat(p_pos)
+        k_norm = p_oh @ flat(p_norm)
+        k_active = ((p_oh @ flat(p_active).astype(dtype)) > 0.5) & (
+            pval > -_BIG / 2)
+        k_margin = p_oh @ flat(p_margin)
+        sphere_of_cand = jnp.repeat(jnp.arange(P, dtype=dtype), G)
+        k_sphere = (p_oh @ sphere_of_cand).astype(jnp.int32)
+        k_body = gbody[jnp.tile(jnp.arange(G), P)][psel]
+        mu_g = jnp.maximum(model.geom_friction[:, 0], 1.0)
+        k_mu = p_oh @ jnp.tile(mu_g, P)
+        k_vel_s = sp_vel[k_sphere]                             # (K,3)
+        k_inv_s = sp_inv[k_sphere]
+
+        pt1, pt2 = make_frame(k_norm)
+        p_dirs = (
+            k_norm[:, None, :]
+            + jnp.stack([pt1, -pt1, pt2, -pt2], axis=1) * k_mu[:, None, None]
+        )                                                       # (K,4,3)
+        W6_p = jnp.concatenate(
+            [jnp.cross(jnp.broadcast_to(k_pos[:, None, :], p_dirs.shape),
+                       p_dirs), p_dirs], axis=-1)              # (K,4,6)
+        pb2_oh = (k_body[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+        p_vel = jnp.einsum("kaw,kw->ka", W6_p, pb2_oh @ V)
+        # moving external reference: relative normal velocity subtracts the
+        # sphere's velocity along each pyramid direction
+        p_vel = p_vel - jnp.einsum("kad,kd->ka", p_dirs, k_vel_s)
+        p_solimp = jnp.broadcast_to(model.floor_solimp, (MAX_PROJC, 5))
+        p_x = k_dist - k_margin
+        p_imp = impedance(p_solimp, p_x)
+        p_aref = -cB * p_vel - (cK * p_imp * p_x)[:, None]
+        p_muhat = jnp.maximum(k_mu, 1.0)
+        p_diag = (
+            (pb2_oh @ model.body_invweight0[:, 0] + k_inv_s)
+            * 2.0 * p_muhat**2 * (1.0 + p_muhat**2)
+        )
+        p_R = ((1.0 - p_imp) / p_imp * p_diag)[:, None].repeat(4, axis=1)
+        proj_sphere = jnp.where(k_active, k_sphere, -1)
+        proj_body1 = jnp.full(MAX_PROJC, -1, jnp.int32)
+        proj_body2 = k_body.astype(jnp.int32)
+        proj_active = k_active
+    else:
+        z4 = jnp.zeros((MAX_PROJC, 4), dtype)
+        p_aref, p_R = z4, jnp.ones((MAX_PROJC, 4), dtype)
+        W6_p = jnp.zeros((MAX_PROJC, 4, 6), dtype)
+        proj_sphere = jnp.full(MAX_PROJC, -1, jnp.int32)
+        proj_body1 = jnp.full(MAX_PROJC, -1, jnp.int32)
+        proj_body2 = jnp.zeros(MAX_PROJC, jnp.int32)
+        proj_active = jnp.zeros(MAX_PROJC, bool)
+
     # ---------------- stack row specs ----------------
-    aref = jnp.concatenate([c_aref, s_aref], axis=0)       # (C,4)
-    R = jnp.concatenate([c_R, s_R], axis=0)
-    W6_all = jnp.concatenate([W6, W6_s], axis=0)           # (C,4,6)
+    aref = jnp.concatenate([c_aref, s_aref, p_aref], axis=0)   # (C,4)
+    R = jnp.concatenate([c_R, s_R, p_R], axis=0)
+    W6_all = jnp.concatenate([W6, W6_s, W6_p], axis=0)         # (C,4,6)
     body1 = jnp.concatenate(
-        [jnp.full(MAX_CONTACTS, -1, jnp.int32), sc.body1.astype(jnp.int32)]
+        [jnp.full(MAX_CONTACTS, -1, jnp.int32), sc.body1.astype(jnp.int32),
+         proj_body1]
     )
-    body2 = jnp.concatenate([c_body, sc.body2.astype(jnp.int32)])
+    body2 = jnp.concatenate([c_body, sc.body2.astype(jnp.int32), proj_body2])
     con_act4 = jnp.concatenate(
-        [jnp.repeat(c_active, 4), jnp.repeat(sc.active, 4)]
+        [jnp.repeat(c_active, 4), jnp.repeat(sc.active, 4),
+         jnp.repeat(proj_active, 4)]
     )
     active = jnp.concatenate([l_active, con_act4])
     # inactive-row hygiene applied on the SPEC level (the solver re-applies
@@ -418,4 +530,5 @@ def make_efc(
         con_pos=c_pos,
         con_active=c_active,
         geom_floor_contact=geom_floor_contact,
+        proj_sphere=proj_sphere,
     )

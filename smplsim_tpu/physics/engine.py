@@ -141,6 +141,7 @@ def control_step(
     pd_target_mask=None,
     reset_ref=None,
     ext_force=None,
+    proj=None,
 ):
     """One control step = control_freq_inv substeps, torque recomputed per
     substep (reference physics_step, humanoid_env.py:439-453).
@@ -188,19 +189,27 @@ def control_step(
         else:
             M0, C0, f_w0 = cache
 
-        op = _uhc_op_for(control_freq_inv, ext_force is not None)
+        op = _uhc_op_for(control_freq_inv, ext_force is not None,
+                         proj is not None)
         args = (model, state.qpos, state.qvel, M0, C0, f_w0, target,
                 reset_qpos, reset_qvel, M_reset, C_reset)
         if ext_force is not None:
             args = args + (ext_force,)
-        (qpos, qvel, M_last, C_last, f_w, power, nact, stall, gfc) = op(*args)
-        return (
+        if proj is not None:
+            args = args + tuple(proj)
+        outs = op(*args)
+        (qpos, qvel, M_last, C_last, f_w, power, nact, stall, gfc) = outs[:9]
+        ret = (
             PhysicsState(qpos=qpos, qvel=qvel),
             LeanInfo(geom_floor_contact=gfc, nactive_max=nact,
                      stalled_any=stall),
             power,
             (M_last, C_last, f_w),
         )
+        if proj is not None:
+            # 5-tuple for projectile callers: updated (pos, vel)
+            return ret + ((outs[9], outs[10]),)
+        return ret
 
     def substep(carry, _):
         st, f_w, power, nact, stall = carry
@@ -253,21 +262,72 @@ def control_step(
 # ---------------------------------------------------------------------------
 def _uhc_core_ref(model, qpos, qvel, M0, C0, f_w0, target,
                   reset_qpos, reset_qvel, M_reset, C_reset, ext_force,
-                  *, control_freq_inv: int):
+                  proj, *, control_freq_inv: int):
     """Per-env reference uhc_pd loop (the pre-r5 control_step body), lean
-    outputs only. This is the parity oracle and the differentiation path."""
+    outputs only. This is the parity oracle and the differentiation path.
+
+    `proj` optionally carries free projectile spheres
+    (pos (P,3), vel (P,3), radius (P,), invmass (P,)): integrated
+    ballistically per substep, coupled to the humanoid through the EFC
+    pyramid rows (constraints.make_efc spheres=...) with the solved contact
+    force applied equal-and-opposite to each sphere, and an inelastic floor
+    clamp (the TPU-native simulated version of the reference's thrown
+    projectile assets, nv/humanoid.py:135-190, 1989-2020)."""
     from smplsim_tpu.physics import control as ctrl_mod
 
     dtype = qpos.dtype
+    has_proj = proj is not None
+    if has_proj:
+        p_pos0, p_vel0, p_rad, p_inv = proj
+        nP = p_pos0.shape[0]
+    else:
+        p_pos0 = p_vel0 = jnp.zeros((0, 3), dtype)
 
     def substep(carry, _):
-        q, v, M_prev, C_prev, f_w, power, nact, stall, _gfc = carry
+        (q, v, M_prev, C_prev, f_w, power, nact, stall, _gfc,
+         p_pos, p_vel) = carry
         st = PhysicsState(qpos=q, qvel=v)
         tau = ctrl_mod.stable_pd_torque(model, M_prev, C_prev, q, v, target)
-        kin, smooth, efc, M, C = _forward_smooth(model, st, tau, ext_force)
+        kin = kinematics.fk(model, st.qpos)
+        M = dynamics.mass_matrix(model, kin)
+        C = dynamics.bias_forces(model, kin, st.qvel)
+        qfrc = (
+            dynamics.actuator_forces(model, tau)
+            + dynamics.passive_forces(model, st.qvel)
+            - C
+        )
+        if ext_force is not None:
+            qfrc = qfrc + dynamics.external_forces(model, kin, ext_force)
+        chol, qacc_smooth = linalg.cho_factor_solve(M, qfrc)
+        smooth = dynamics.Smooth(M=M, chol=chol, qfrc_smooth=qfrc,
+                                 qacc_smooth=qacc_smooth)
+        spheres = (p_pos, p_vel, p_rad, p_inv) if has_proj else None
+        efc = constraints.make_efc(model, kin, st.qpos, st.qvel, spheres)
         sol = solver.solve_constraints(model, kin, smooth, efc, f_w)
         qpos2, qvel2 = integrator.euler_step(model, q, v, sol.qacc,
                                              model.timestep)
+        if has_proj:
+            from smplsim_tpu.physics.constraints import MAX_PROJC
+
+            dt = model.timestep
+            ef_p = sol.efc_force[-4 * MAX_PROJC:].reshape(MAX_PROJC, 4)
+            dirs = efc.W6[-MAX_PROJC:, :, 3:6]             # (K,4,3)
+            F_slot = -jnp.sum(ef_p[..., None] * dirs, axis=1)   # (K,3)
+            sid_oh = (efc.proj_sphere[:, None]
+                      == jnp.arange(nP)[None, :]).astype(dtype)  # (K,P)
+            F_s = sid_oh.T @ F_slot                             # (P,3)
+            g = model.gravity
+            p_vel2 = p_vel + dt * (p_inv[:, None] * F_s + g[None, :])
+            p_pos2 = p_pos + dt * p_vel2
+            # inelastic floor clamp (plane z=0)
+            below = p_pos2[:, 2] < p_rad
+            p_vel2 = p_vel2.at[:, 2].set(
+                jnp.where(below, jnp.maximum(p_vel2[:, 2], 0.0),
+                          p_vel2[:, 2]))
+            p_pos2 = p_pos2.at[:, 2].set(
+                jnp.maximum(p_pos2[:, 2], p_rad))
+        else:
+            p_pos2, p_vel2 = p_pos, p_vel
         bad = _state_bad(q, v, sol.qacc)
         qpos2 = jnp.where(bad, reset_qpos, qpos2)
         qvel2 = jnp.where(bad, reset_qvel, qvel2)
@@ -278,29 +338,32 @@ def _uhc_core_ref(model, qpos, qvel, M0, C0, f_w0, target,
         nact = jnp.maximum(nact, sol.nactive)
         stall = stall | sol.stalled
         return (qpos2, qvel2, M, C, f_w, power, nact, stall,
-                efc.geom_floor_contact), None
+                efc.geom_floor_contact, p_pos2, p_vel2), None
 
     carry = (
         qpos, qvel, M0, C0, f_w0, jnp.zeros((), dtype),
         jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-        jnp.zeros(len(model.geom_type), bool),
+        jnp.zeros(len(model.geom_type), bool), p_pos0, p_vel0,
     )
     carry, _ = jax.lax.scan(substep, carry, None, length=control_freq_inv)
     return carry
 
 
 @functools.lru_cache(maxsize=16)
-def _uhc_op_for(control_freq_inv: int, has_ext: bool):
+def _uhc_op_for(control_freq_inv: int, has_ext: bool, has_proj: bool = False):
     """(custom_jvp ∘ custom_vmap) uhc_pd control-loop op. Per-env calls and
     jacfwd (MPC/co-design) run the reference loop; an env vmap dispatches
     the whole batch to substep_lanes.uhc_control_lanes."""
 
     def ref(*args):
-        if has_ext:
-            *rest, ext = args
-        else:
-            rest, ext = args, None
-        return _uhc_core_ref(*rest, ext, control_freq_inv=control_freq_inv)
+        base = args[:11]
+        i = 11
+        ext = args[i] if has_ext else None
+        i += 1 if has_ext else 0
+        proj = tuple(args[i:i + 4]) if has_proj else None
+        out = _uhc_core_ref(*base, ext, proj,
+                            control_freq_inv=control_freq_inv)
+        return out if has_proj else out[:9]
 
     @jax.custom_batching.custom_vmap
     def _core(*args):
@@ -312,15 +375,18 @@ def _uhc_op_for(control_freq_inv: int, has_ext: bool):
         from smplsim_tpu.physics.solver import COMPACT_ROWS
         from smplsim_tpu.ops.qp_kernel import NEWTON_ITERS
 
+        (model, qpos, qvel, M0, C0, f_w0, target, rq, rv, Mr, Cr) = args[:11]
+        (mb, qb, vb, M0b, C0b, fwb, tb, rqb, rvb, Mrb, Crb) = in_batched[:11]
+        i = 11
         if has_ext:
-            (model, qpos, qvel, M0, C0, f_w0, target,
-             rq, rv, Mr, Cr, ext) = args
-            (mb, qb, vb, M0b, C0b, fwb, tb, rqb, rvb, Mrb, Crb,
-             extb) = in_batched
+            ext, extb = args[i], in_batched[i]
+            i += 1
         else:
-            model, qpos, qvel, M0, C0, f_w0, target, rq, rv, Mr, Cr = args
-            mb, qb, vb, M0b, C0b, fwb, tb, rqb, rvb, Mrb, Crb = in_batched
             ext, extb = None, False
+        if has_proj:
+            proj, projb = args[i:i + 4], in_batched[i:i + 4]
+        else:
+            proj, projb = None, None
 
         def lanes(x, b):
             if x is None:
@@ -340,6 +406,12 @@ def _uhc_op_for(control_freq_inv: int, has_ext: bool):
         C0, C0b = force_b(C0, C0b)
         f_w0, fwb = force_b(f_w0, fwb)
         target, tb = force_b(target, tb)
+        if has_proj:
+            # sphere state must be batched (per-env projectiles)
+            proj = tuple(force_b(x, b)[0] for x, b in zip(proj, projb))
+            projT = tuple(jnp.moveaxis(x, 0, -1) for x in proj)
+        else:
+            projT = None
 
         model_l = jax.tree.map(lanes, model, mb)
         model_axes = jax.tree.map(lambda b: -1 if b else None, mb)
@@ -349,6 +421,7 @@ def _uhc_op_for(control_freq_inv: int, has_ext: bool):
             lanes(C0, C0b), lanes(f_w0, fwb), lanes(target, tb),
             lanes(rq, rqb), lanes(rv, rvb), lanes(Mr, Mrb), lanes(Cr, Crb),
             lanes(ext, extb) if has_ext else None,
+            projT,
             control_freq_inv=control_freq_inv,
             qp_iters=NEWTON_ITERS, K=min(COMPACT_ROWS, constraints.NEFC),
         )

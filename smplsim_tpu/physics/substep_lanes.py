@@ -289,7 +289,7 @@ def solve_constraints_lanes(model, S, MpT, qfrc, efc, f_warm, iters, K):
 # the control loop
 # ---------------------------------------------------------------------------
 def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
-                      reset_q, reset_v, M_reset, C_reset, extT,
+                      reset_q, reset_v, M_reset, C_reset, extT, projT,
                       control_freq_inv: int, qp_iters: int, K: int):
     """Lanes-last uhc_pd control step. All array args carry a trailing lane
     axis B where batched; model leaves are shared (original shape) or lanes
@@ -324,10 +324,21 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
     # contact math is lane-parallel automatically; the self-collision
     # custom_vmap dispatches to its lanes pipeline as usual)
     kin_axes = Kin(xpos=-1, xmat=-1, S=-1, com=-1, inertia_w=-1)
-    efc_fn = jax.vmap(
-        constraints.make_efc,
-        in_axes=(model_axes, kin_axes, -1, -1), out_axes=-1,
-    )
+    has_proj = projT is not None
+    if has_proj:
+        p_pos0, p_vel0, p_rad, p_inv = projT
+        nP = p_pos0.shape[0]
+        efc_fn = jax.vmap(
+            constraints.make_efc,
+            in_axes=(model_axes, kin_axes, -1, -1, (-1, -1, -1, -1)),
+            out_axes=-1,
+        )
+    else:
+        p_pos0 = p_vel0 = jnp.zeros((0, 3, B), dtype)
+        efc_fn = jax.vmap(
+            constraints.make_efc,
+            in_axes=(model_axes, kin_axes, -1, -1), out_axes=-1,
+        )
     ts = jnp.asarray(model.timestep)
     integrate = jax.vmap(
         lambda q, v, a, d: integrator.euler_step(None, q, v, a, d),
@@ -351,7 +362,8 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         return jnp.sum(kin.S * fC, axis=1)
 
     def substep(carry, _):
-        q, v, Mp_prev, C_prev, f_w, power, nact, stall, _gfc = carry
+        (q, v, Mp_prev, C_prev, f_w, power, nact, stall, _gfc,
+         p_pos, p_vel) = carry
 
         tau = stable_pd_lanes(model, Mp_prev, C_prev, q, v, targetT)
 
@@ -372,7 +384,10 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         qfrc = act - jnp.broadcast_to(damping, (nv, B)) * v - C
         qfrc = qfrc + ext_qfrc(kin)
 
-        efc = efc_fn(model, kin, q, v)
+        if has_proj:
+            efc = efc_fn(model, kin, q, v, (p_pos, p_vel, p_rad, p_inv))
+        else:
+            efc = efc_fn(model, kin, q, v)
 
         Mp = _pad_spd(M, np_)
         qacc, efc_force, nactive, overflow, stalled, qacc_smooth = \
@@ -380,6 +395,30 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
                                     f_w, qp_iters, K)
 
         q2, v2 = integrate(q, v, qacc, ts)
+
+        if has_proj:
+            from smplsim_tpu.physics.constraints import MAX_PROJC
+
+            dt_l = _lane(jnp.asarray(model.timestep), 0)[None]   # (1,B?)
+            ef_p = efc_force[-4 * MAX_PROJC:].reshape(MAX_PROJC, 4, B)
+            dirs = efc.W6[-MAX_PROJC:, :, 3:6, :]                # (K,4,3,B)
+            F_slot = -jnp.sum(ef_p[:, :, None, :] * dirs, axis=1)  # (K,3,B)
+            sid = efc.proj_sphere                                # (K,B)
+            sid_oh = (sid[:, None, :]
+                      == jnp.arange(nP)[None, :, None]).astype(dtype)
+            F_s = jnp.sum(sid_oh[:, :, None, :] * F_slot[:, None, :, :],
+                          axis=0)                                # (P,3,B)
+            grav = _lane(jnp.asarray(model.gravity, dtype), 1)   # (3,B?)
+            p_vel2 = p_vel + dt_l * (p_inv[:, None, :] * F_s + grav[None])
+            p_pos2 = p_pos + dt_l * p_vel2
+            below = p_pos2[:, 2, :] < p_rad
+            p_vel2 = p_vel2.at[:, 2, :].set(
+                jnp.where(below, jnp.maximum(p_vel2[:, 2, :], 0.0),
+                          p_vel2[:, 2, :]))
+            p_pos2 = p_pos2.at[:, 2, :].set(
+                jnp.maximum(p_pos2[:, 2, :], p_rad))
+        else:
+            p_pos2, p_vel2 = p_pos, p_vel
 
         # mjMAXVAL auto-reset (engine._state_bad semantics)
         def badr(x):
@@ -396,7 +435,8 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         nact = jnp.maximum(nact, nactive)
         stall = stall | stalled
         gfc = efc.geom_floor_contact                           # (ngeom,B)
-        return (q2, v2, Mp, C, f_w2, power, nact, stall, gfc), None
+        return (q2, v2, Mp, C, f_w2, power, nact, stall, gfc,
+                p_pos2, p_vel2), None
 
     Mp0 = _pad_spd(bc(M0, 2), np_)
     carry = (
@@ -404,10 +444,12 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         jnp.zeros((B,), dtype), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), bool),
         jnp.zeros((len(model.geom_type), B), bool),
+        p_pos0, p_vel0,
     )
     carry, _ = jax.lax.scan(substep, carry, None, length=control_freq_inv)
-    q, v, Mp, C, f_w, power, nact, stall, gfc = carry
-    return q, v, Mp[:nv, :nv, :], C, f_w, power, nact, stall, gfc
+    q, v, Mp, C, f_w, power, nact, stall, gfc, p_pos, p_vel = carry
+    base = (q, v, Mp[:nv, :nv, :], C, f_w, power, nact, stall, gfc)
+    return base + ((p_pos, p_vel) if has_proj else ())
 
 
 def _body_R_local(model, dtype):

@@ -77,7 +77,8 @@ def test_closed_loop_spine_stays_on_reference(dtype=jnp.float64):
 
     def roll(q, v):
         st = engine.PhysicsState(q, v)
-        cache = engine.pd_cache(model, st) + (jnp.zeros(156, dtype),)
+        from smplsim_tpu.physics import constraints
+        cache = engine.pd_cache(model, st) + (jnp.zeros(constraints.NEFC, dtype),)
         def body(carry, i):
             st, cache = carry
             a = 0.2 * jnp.sin(0.1 * i + jnp.arange(model.nu, dtype=dtype))
