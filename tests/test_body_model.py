@@ -111,6 +111,7 @@ def test_builder_beta_changes_geometry(synthetic):
     assert not np.allclose(np.asarray(m0.body_pos), np.asarray(m1.body_pos))
 
 
+@pytest.mark.full  # compile-heavy: full tier
 def test_built_model_steps_stably(synthetic):
     """The built robot runs through the physics engine without NaN."""
     from smplsim_tpu.physics import engine

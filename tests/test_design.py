@@ -2,6 +2,7 @@
 physics usability of perturbed models (reference smpl_local_robot.py
 get_params/set_params with [-1,1] normalization, :322-1162)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ def test_flatten_unflatten_roundtrip():
         )
 
 
+@pytest.mark.full  # compile-heavy: full tier
 def test_unflatten_jit_vmap_and_steps():
     """A batch of design vectors -> a batch of models; the engine steps a
     perturbed model (the on-device design-search building block)."""
@@ -63,6 +65,7 @@ def test_unflatten_jit_vmap_and_steps():
     assert np.isfinite(np.asarray(st2.qpos)).all()
 
 
+@pytest.mark.full  # compile-heavy: full tier
 def test_gradients_flow_through_design():
     """d(step outcome)/d(design vector) exists — gradient-based co-design."""
     model = registry.default_humanoid(dtype=jnp.float64)

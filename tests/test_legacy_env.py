@@ -83,6 +83,7 @@ def test_subtree_com_velocity_matches_mujoco(env64):
     )
 
 
+@pytest.mark.full  # compile-heavy: full tier
 def test_move_reward_composition(env64):
     """Reward equals the reference composition evaluated on the same pieces."""
     st = env64.reset(jax.random.PRNGKey(0))
@@ -114,6 +115,7 @@ def test_move_reward_composition(env64):
     np.testing.assert_allclose(r, expect, atol=1e-6)
 
 
+@pytest.mark.full  # compile-heavy: full tier
 def test_playback_steps_through_motion():
     from smplsim_tpu.motion import HumanoidBatchFK, MotionLib, MotionLibConfig
 

@@ -29,6 +29,7 @@ def test_render_rollout_writes_gif(tmp_path):
         assert f.read(6) in (b"GIF87a", b"GIF89a")
 
 
+@pytest.mark.full  # compile-heavy: full tier
 def test_run_policy_render_path(tmp_path):
     """run_policy(render_path=...) produces the GIF artifact end-to-end."""
     from smplsim_tpu.agents import AgentHumanoid, RunConfig
