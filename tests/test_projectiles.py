@@ -82,3 +82,38 @@ def test_nv_env_projectiles_step_and_relaunch():
     # after a throw tick the spheres are near the humanoid, not parked
     p = np.asarray(states.proj[0])
     assert np.abs(p[..., 0]).max() < 50.0, "scheduler never re-threw"
+
+
+def test_projectile_vmap_matches_per_env():
+    """The lanes spine's projectile handling (trailing-vmap EFC + lanes
+    reaction/integration) matches the per-env reference loop."""
+    model = registry.default_humanoid(dtype=jnp.float64)
+    B = 3
+    rng = np.random.RandomState(0)
+    p_rad = jnp.asarray(np.full((B, 1), 0.12))
+    p_inv = jnp.asarray(np.full((B, 1), 0.5))
+    qpos = np.tile(np.asarray(model.qpos0), (B, 1))
+    qpos[:, 2] = 0.92
+    qvel = rng.randn(B, model.nv) * 0.1
+    ppos = np.asarray([[[1.2, -0.2, 0.85]], [[0.9, 0.0, 0.9]],
+                       [[-0.8, 0.1, 0.8]]])
+    pvel = np.asarray([[[-9.0, 0, 0]], [[-7.0, 0.5, 0]], [[8.0, 0, 0.5]]])
+    act = rng.uniform(-0.3, 0.3, (B, model.nu))
+
+    def one(q, v, a, pp, pv, pr, pi):
+        st = engine.PhysicsState(q, v)
+        st2, info, power, cache, (pp2, pv2) = engine.control_step(
+            model, st, a, control_freq_inv=4, proj=(pp, pv, pr, pi))
+        return st2.qpos, st2.qvel, pp2, pv2, power
+
+    J = jnp.asarray
+    ref = [jax.jit(one)(J(qpos[i]), J(qvel[i]), J(act[i]), J(ppos[i]),
+                        J(pvel[i]), p_rad[i], p_inv[i]) for i in range(B)]
+    vm = jax.jit(jax.vmap(one))(J(qpos), J(qvel), J(act), J(ppos), J(pvel),
+                                p_rad, p_inv)
+    for i in range(B):
+        for j, nm in enumerate(["qpos", "qvel", "ppos", "pvel", "power"]):
+            r = np.asarray(ref[i][j])
+            v = np.asarray(vm[j][i])
+            err = np.max(np.abs(r - v) / (1 + np.abs(r)))
+            assert err < 1e-9, (nm, i, err)
