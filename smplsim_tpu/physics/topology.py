@@ -87,3 +87,21 @@ def tree_masks(parents: tuple[int, ...]):
         subtree_body=subtree_body,
         dof_subtree_body=dof_subtree_body,
     )
+
+
+@functools.lru_cache(maxsize=32)
+def aba_levels(parents: tuple[int, ...]):
+    """Level schedule for the articulated-body solve (physics/aba.py).
+
+    Returns (levels, parent): `levels[d]` is a sorted numpy int array of the
+    bodies at tree depth d (root body 0 is levels[0]); `parent` is the
+    parents tuple as a numpy array. Bodies within a level are independent —
+    the ABA sweeps run one level at a time, so the sequential depth of the
+    factorization/solve is the tree depth (~9 for SMPL) instead of nv.
+    """
+    J = len(parents)
+    depth = np.zeros(J, dtype=np.int64)
+    for b in range(1, J):
+        depth[b] = depth[parents[b]] + 1
+    levels = [np.flatnonzero(depth == d) for d in range(int(depth.max()) + 1)]
+    return levels, np.asarray(parents, dtype=np.int64)

@@ -86,6 +86,7 @@ SMOKE_FILES = {
     "test_poselib.py",         # skeleton tree/state/motion
     "test_legacy_env.py",      # dm-style tolerance rewards
     "test_utils_extra.py",     # filters/normalizers/misc
+    "test_aba.py",             # articulated-body solve vs dense Cholesky
     "test_training_curve.py",  # committed-artifact regression gates
     "test_render.py",          # offline renderer smoke
 }
