@@ -38,15 +38,27 @@ stable-PD lifecycle).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+from smplsim_tpu.physics import aba as aba_mod
 from smplsim_tpu.physics import constraints, dynamics_lanes, fk_lanes, integrator
 from smplsim_tpu.physics import linalg
 from smplsim_tpu.physics.kinematics import Kin
 from smplsim_tpu.physics.topology import tree_masks
 
 _BB = 128
+
+
+def _aba_enabled(dtype) -> bool:
+    """Articulated-body (O(tree-depth)) solves replace the dense 75x75
+    Cholesky chain on the f32 product path (physics/aba.py rationale).
+    f64 keeps the dense factorization so the 1e-9 lanes-vs-reference parity
+    pins stay exact; SMPLSIM_ABA=0 restores the dense path for A/B runs."""
+    return dtype == jnp.float32 and \
+        os.environ.get("SMPLSIM_ABA", "1") not in ("0", "false", "off")
 
 
 def _pad8(n: int) -> int:
@@ -129,15 +141,63 @@ def _qp_dispatch(At, bt, at, ft, iters):
 
 
 # ---------------------------------------------------------------------------
+# mass-matrix solve closures: dense padded matrix vs articulated-body tree
+# ---------------------------------------------------------------------------
+def _dense_solver(MpT, nv):
+    """solve(rhs (nv,m,B), diag (nv,B)|None) -> (nv,m,B) against the PADDED
+    (np,np,B) matrix MpT (armature already inside M; diag adds on top)."""
+    np_ = MpT.shape[0]
+
+    def solve(rhs, diag=None):
+        m, B = rhs.shape[1], rhs.shape[-1]
+        rhs_p = jnp.zeros((np_, m, B), MpT.dtype).at[:nv].set(rhs)
+        diag_p = None if diag is None else \
+            jnp.zeros((np_, B), MpT.dtype).at[:nv].set(diag)
+        return _chol_solve_dispatch(MpT, rhs_p, diag_p)[:nv]
+
+    return solve
+
+
+def _aba_solver(model, kin):
+    """solve(rhs (nv,m,B), diag) -> (M(kin) + armature + diag)^-1 rhs via the
+    O(tree-depth) two-sweep factorization (physics/aba.py), vmapped with the
+    env batch in the trailing lane axis. Exact (to rounding) match of the
+    dense CRBA solve — tests/test_aba.py pins it; never factors or even
+    forms the (nv,nv) matrix."""
+    parents = model.parents
+    dtype = kin.S.dtype
+    arm = jnp.asarray(model.armature, dtype)
+    bm = jnp.asarray(model.body_mass, dtype)
+
+    def solve(rhs, diag=None):
+        nv, _, B = rhs.shape
+        d = jnp.broadcast_to(_lane(arm, 1), (nv, B))
+        if diag is not None:
+            d = d + diag
+        bmB = jnp.broadcast_to(_lane(bm, 1), bm.shape[:1] + (B,))
+        f = jax.vmap(
+            lambda S, com, Iw, xp, m_, dd, r: aba_mod.mass_solve(
+                parents, S, com, Iw, xp, m_, dd, r),
+            in_axes=-1, out_axes=-1,
+        )
+        return f(kin.S, kin.com, kin.inertia_w, kin.xpos, bmB, d, rhs)
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
 # stable-PD, lanes (controllers.py:142-190 law; see control.stable_pd_torque)
 # ---------------------------------------------------------------------------
-def stable_pd_lanes(model, MpT, C_prev, qT, vT, targetT):
-    """MpT (np,np,B) PADDED previous-substep mass matrix; C_prev (nv,B);
-    qT (nq,B); vT (nv,B); targetT (nu,B). Returns tau (nu,B)."""
-    dtype = MpT.dtype
-    B = MpT.shape[-1]
+def stable_pd_lanes(model, Msolve, C_prev, qT, vT, targetT):
+    """Msolve: PADDED (np,np,B) previous-substep mass matrix, or a solve
+    closure (from _aba_solver over the previous substep's kinematics —
+    armature handled inside). C_prev (nv,B); qT (nq,B); vT (nv,B);
+    targetT (nu,B). Returns tau (nu,B)."""
+    dtype = vT.dtype
+    B = vT.shape[-1]
     nv = vT.shape[0]
-    np_ = MpT.shape[0]
+    if not callable(Msolve):
+        Msolve = _dense_solver(Msolve, nv)
     dt = _lane(model.timestep, 0)                      # (B,) or (1,)
     z6 = jnp.zeros((6, B), dtype)
     jkp = jnp.broadcast_to(_lane(model.jkp, 1), (nv - 6, B))
@@ -147,9 +207,7 @@ def stable_pd_lanes(model, MpT, C_prev, qT, vT, targetT):
     qpos_err = jnp.concatenate([z6, qT[7:] + vT[6:] * dt[None] - targetT],
                                axis=0)
     rhs = -C_prev - kp * qpos_err - kd * vT            # (nv,B)
-    rhs_p = jnp.zeros((np_, 1, B), dtype).at[:nv, 0, :].set(rhs)
-    diag_p = jnp.zeros((np_, B), dtype).at[:nv, :].set(kd * dt[None])
-    qacc = _chol_solve_dispatch(MpT, rhs_p, diag_p)[:nv, 0, :]
+    qacc = Msolve(rhs[:, None, :], kd * dt[None])[:, 0, :]
     lim = jnp.broadcast_to(_lane(model.torque_lim, 1), (nv - 6, B))
     tau = -jkp * qpos_err[6:] - jkd * (vT[6:] + qacc[6:] * dt[None])
     return jnp.clip(tau, -lim, lim)
@@ -169,19 +227,21 @@ def _slot_rank(af):
     return jnp.where(af > 0.5, r_act, nact + r_in)
 
 
-def solve_constraints_lanes(model, S, MpT, qfrc, efc, f_warm, iters, K):
+def solve_constraints_lanes(model, S, Msolve, qfrc, efc, f_warm, iters, K):
     """Lanes twin of solver.solve_constraints fused with the smooth solve.
 
-    S (nv,6,B) dof subspaces; MpT (np,np,B) padded mass matrix; qfrc (nv,B)
-    smooth force; efc: EFC pytree with TRAILING lane axes (from the
-    trailing-vmap of make_efc); f_warm (nefc,B).
+    S (nv,6,B) dof subspaces; Msolve: padded (np,np,B) mass matrix or a
+    solve closure (_aba_solver); qfrc (nv,B) smooth force; efc: EFC pytree
+    with TRAILING lane axes (from the trailing-vmap of make_efc);
+    f_warm (nefc,B).
 
     Returns (qacc (nv,B), efc_force (nefc,B), nactive (B,), overflow (B,),
     stalled (B,), qacc_smooth (nv,B)).
     """
-    dtype = MpT.dtype
+    dtype = S.dtype
     nv, _, B = S.shape
-    np_ = MpT.shape[0]
+    if not callable(Msolve):
+        Msolve = _dense_solver(Msolve, nv)
     nefc = efc.active.shape[0]
     L = efc.l_J.shape[0]
     C = efc.W6.shape[0]
@@ -242,8 +302,7 @@ def solve_constraints_lanes(model, S, MpT, qfrc, efc, f_warm, iters, K):
 
     # fused smooth + Delassus: one factor of M, rhs = [qfrc | J^T]
     rhs = jnp.concatenate([qfrc[:, None, :], Jt], axis=1)      # (nv,1+K,B)
-    rhs_p = jnp.zeros((np_, 1 + K, B), dtype).at[:nv].set(rhs)
-    X = _chol_solve_dispatch(MpT, rhs_p)[:nv]                  # (nv,1+K,B)
+    X = Msolve(rhs)                                            # (nv,1+K,B)
     qacc_smooth = X[:, 0, :]
     W = X[:, 1:, :]                                            # (nv,K,B)
 
@@ -304,6 +363,7 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
     np_ = _pad8(nv)
     nefc = constraints.NEFC
     masks = tree_masks(model.parents)
+    use_aba = _aba_enabled(dtype)
 
     from smplsim_tpu.models.spec import RobotModel  # noqa: F401 (doc)
 
@@ -362,19 +422,26 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         return jnp.sum(kin.S * fC, axis=1)
 
     def substep(carry, _):
-        (q, v, Mp_prev, C_prev, f_w, power, nact, stall, _gfc,
-         p_pos, p_vel) = carry
-
-        tau = stable_pd_lanes(model, Mp_prev, C_prev, q, v, targetT)
+        if use_aba:
+            (q, v, q_stale, C_prev, tau, f_w, power, nact, stall, _gfc,
+             p_pos, p_vel) = carry
+        else:
+            (q, v, Mp_prev, C_prev, f_w, power, nact, stall, _gfc,
+             p_pos, p_vel) = carry
+            tau = stable_pd_lanes(model, Mp_prev, C_prev, q, v, targetT)
 
         kin_t = fk_lanes.fk_lanes(
             q, body_pos_l, body_R_l, body_ipos_l, body_inertia_l,
             model.parents)
         kin = Kin(*kin_t)
 
-        M = dynamics_lanes.mass_matrix_lanes(
-            kin.S, kin.com, kin.inertia_w, model.body_mass, model.armature,
-            masks)                                             # (nv,nv,B)
+        if use_aba:
+            Msolve = _aba_solver(model, kin)
+        else:
+            M = dynamics_lanes.mass_matrix_lanes(
+                kin.S, kin.com, kin.inertia_w, model.body_mass,
+                model.armature, masks)                         # (nv,nv,B)
+            Msolve = Mp = _pad_spd(M, np_)
         C = dynamics_lanes.bias_forces_lanes(
             kin.S, kin.com, kin.inertia_w, model.body_mass, model.gravity,
             v, masks)
@@ -389,9 +456,8 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         else:
             efc = efc_fn(model, kin, q, v)
 
-        Mp = _pad_spd(M, np_)
         qacc, efc_force, nactive, overflow, stalled, qacc_smooth = \
-            solve_constraints_lanes(model, kin.S, Mp, qfrc, efc,
+            solve_constraints_lanes(model, kin.S, Msolve, qfrc, efc,
                                     f_w, qp_iters, K)
 
         q2, v2 = integrate(q, v, qacc, ts)
@@ -425,9 +491,19 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
             return jnp.any(~jnp.isfinite(x) | (jnp.abs(x) > 1e10), axis=0)
 
         bad = badr(q) | badr(v) | badr(qacc)                   # (B,)
+        if use_aba:
+            # next substep's stable-PD torque, computed HERE where its stale
+            # (M, C) pair — this substep's kinematics and bias — is live, so
+            # the scan never carries (or factors) a dense mass matrix. Bad
+            # lanes take the precomputed reset torque (their PD inputs are
+            # the reset constants).
+            tau_next = stable_pd_lanes(
+                model, _aba_solver(model, kin), C, q2, v2, targetT)
+            tau_next = jnp.where(bad[None], tau_reset, tau_next)
+            q_stale2 = jnp.where(
+                bad[None], jnp.broadcast_to(reset_qT, q.shape), q)
         q2 = jnp.where(bad[None], jnp.broadcast_to(reset_qT, q2.shape), q2)
         v2 = jnp.where(bad[None], jnp.broadcast_to(reset_vT, v2.shape), v2)
-        Mp = jnp.where(bad[None, None], jnp.broadcast_to(Mr_T, Mp.shape), Mp)
         C = jnp.where(bad[None], jnp.broadcast_to(Cr_T, C.shape), C)
         f_w2 = jnp.where(bad[None], 0.0, efc_force)
         power = power + jnp.where(
@@ -435,20 +511,49 @@ def uhc_control_lanes(model, model_axes, qT, vT, M0, C0, fw0, targetT,
         nact = jnp.maximum(nact, nactive)
         stall = stall | stalled
         gfc = efc.geom_floor_contact                           # (ngeom,B)
+        if use_aba:
+            return (q2, v2, q_stale2, C, tau_next, f_w2, power, nact, stall,
+                    gfc, p_pos2, p_vel2), None
+        Mp = jnp.where(bad[None, None], jnp.broadcast_to(Mr_T, Mp.shape), Mp)
         return (q2, v2, Mp, C, f_w2, power, nact, stall, gfc,
                 p_pos2, p_vel2), None
 
     Mp0 = _pad_spd(bc(M0, 2), np_)
-    carry = (
-        qT, vT, Mp0, bc(C0, 1), fw0,
-        jnp.zeros((B,), dtype), jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), bool),
-        jnp.zeros((len(model.geom_type), B), bool),
-        p_pos0, p_vel0,
-    )
+    C0b = bc(C0, 1)
+    zstats = (jnp.zeros((B,), dtype), jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B,), bool),
+              jnp.zeros((len(model.geom_type), B), bool))
+    if use_aba:
+        # first-substep torque against the env-carried stale dense M0 (the
+        # only place the dense factor kernel still runs: once per control
+        # step); the scan then hands each substep the NEXT one's torque.
+        tau0 = stable_pd_lanes(model, Mp0, C0b, qT, vT, targetT)
+        reset_kin = Kin(*fk_lanes.fk_lanes(
+            reset_qT, body_pos_l, body_R_l, body_ipos_l, body_inertia_l,
+            model.parents))
+        tau_reset = stable_pd_lanes(
+            model, _aba_solver(model, reset_kin), Cr_T, reset_qT, reset_vT,
+            targetT)
+        carry = (qT, vT, qT, C0b, tau0, fw0) + zstats + (p_pos0, p_vel0)
+    else:
+        carry = (qT, vT, Mp0, C0b, fw0) + zstats + (p_pos0, p_vel0)
     carry, _ = jax.lax.scan(substep, carry, None, length=control_freq_inv)
-    q, v, Mp, C, f_w, power, nact, stall, gfc, p_pos, p_vel = carry
-    base = (q, v, Mp[:nv, :nv, :], C, f_w, power, nact, stall, gfc)
+    if use_aba:
+        (q, v, q_stale, C, _tau, f_w, power, nact, stall, gfc,
+         p_pos, p_vel) = carry
+        # the env cache's stale-M lifecycle: M at the LAST substep's
+        # pre-integration pose (reset pose on auto-reset lanes) — one dense
+        # CRBA per control step instead of 15.
+        kinf = Kin(*fk_lanes.fk_lanes(
+            q_stale, body_pos_l, body_R_l, body_ipos_l, body_inertia_l,
+            model.parents))
+        M_last = dynamics_lanes.mass_matrix_lanes(
+            kinf.S, kinf.com, kinf.inertia_w, model.body_mass,
+            model.armature, masks)
+    else:
+        q, v, Mp, C, f_w, power, nact, stall, gfc, p_pos, p_vel = carry
+        M_last = Mp[:nv, :nv, :]
+    base = (q, v, M_last, C, f_w, power, nact, stall, gfc)
     return base + ((p_pos, p_vel) if has_proj else ())
 
 

@@ -209,13 +209,16 @@ def main():
     real_qp_dispatch = substep_lanes._qp_dispatch
     real_chol_dispatch = substep_lanes._chol_solve_dispatch
 
-    def no_solve_lanes(model_, S, MpT, qfrc, efc, f_w, iters, K):
+    def no_solve_lanes(model_, S, Msolve, qfrc, efc, f_w, iters, K):
         nv = S.shape[0]
         B = S.shape[-1]
-        # dynamic lookup so the diag-chol knockout composes in the skeleton
-        np_ = MpT.shape[0]
-        rhs = jnp.zeros((np_, 1, B), qfrc.dtype).at[:nv, 0, :].set(qfrc)
-        x = substep_lanes._chol_solve_dispatch(MpT, rhs)[:nv, 0, :]
+        if callable(Msolve):                 # r5 ABA path passes a closure
+            x = Msolve(qfrc[:, None, :])[:, 0, :]
+        else:
+            # dynamic lookup so the diag-chol knockout composes in skeleton
+            np_ = Msolve.shape[0]
+            rhs = jnp.zeros((np_, 1, B), qfrc.dtype).at[:nv, 0, :].set(qfrc)
+            x = substep_lanes._chol_solve_dispatch(Msolve, rhs)[:nv, 0, :]
         z = jnp.zeros_like(f_w)
         return (x, z, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
                 jnp.zeros((B,), bool), x)
@@ -223,9 +226,9 @@ def main():
     def qp_off(At, bt, at, ft, iters):
         return jnp.maximum(bt, 0.0) * at
 
-    def simple_pd_lanes(model_, MpT, C_prev, qT, vT, targetT):
-        dtype = MpT.dtype
-        B = MpT.shape[-1]
+    def simple_pd_lanes(model_, Msolve, C_prev, qT, vT, targetT):
+        dtype = C_prev.dtype
+        B = C_prev.shape[-1]
         jkp = jnp.broadcast_to(
             model_.jkp[..., None] if model_.jkp.ndim == 1 else model_.jkp,
             (targetT.shape[0], B))
